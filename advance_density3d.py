@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""Offline smoke-density rendering (reference: 3D/advance_density.py).
+
+    python advance_density3d.py --init_cond ring_collide --dt .02 --dir out3d
+"""
+from gaussian_fluids_tpu.cli import parse_args_3d
+from gaussian_fluids_tpu.solver.simulate3d import advance_density
+
+if __name__ == "__main__":
+    args = parse_args_3d()
+    advance_density(args.init_cond, args.dir, args.dt)

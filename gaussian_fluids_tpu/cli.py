@@ -1,0 +1,55 @@
+"""CLI entry points — same flag surface as the reference
+(``--device --dir --start_frame --init_cond --dt --last_time [--boundary]``,
+reference 2D/GSR.py:13-23, 3D/GSR.py:12-23) without import-time side
+effects. ``--device`` selects the JAX platform ('tpu'/'cpu'/index kept for
+compatibility); extra flags control epoch budgets for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _common(parser: argparse.ArgumentParser, dim: int):
+    parser.add_argument("--device", type=str, default="0",
+                        help="'cpu' forces CPU; anything else keeps the "
+                             "default accelerator (reference: CUDA index)")
+    parser.add_argument("--dir", type=str,
+                        default="output_fast" if dim == 2 else "output_3d")
+    parser.add_argument("--start_frame", type=int, default=0)
+    parser.add_argument("--init_cond", type=str,
+                        default="taylor_vortex" if dim == 2 else "leapfrog")
+    parser.add_argument("--dt", type=float, default=0.01 if dim == 2 else 0.02)
+    parser.add_argument("--last_time", type=float,
+                        default=10.0 if dim == 2 else 100.0)
+    if dim == 3:
+        parser.add_argument("--boundary", type=float, default=10.0)
+    parser.add_argument("--max_epoch", type=int, default=None,
+                        help="override the per-phase epoch budget")
+    parser.add_argument("--no_viz", action="store_true")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser
+
+
+def parse_args_2d(argv=None, default_max_epoch=20000):
+    p = _common(argparse.ArgumentParser(), dim=2)
+    args = p.parse_args(argv)
+    if args.max_epoch is None:
+        args.max_epoch = default_max_epoch
+    _apply_device(args.device)
+    return args
+
+
+def parse_args_3d(argv=None, default_max_epoch=20000):
+    p = _common(argparse.ArgumentParser(), dim=3)
+    args = p.parse_args(argv)
+    if args.max_epoch is None:
+        args.max_epoch = default_max_epoch
+    _apply_device(args.device)
+    return args
+
+
+def _apply_device(device: str):
+    if device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,76 @@
+"""Checkpoint I/O — preserves the reference's ``gaussian_velocity_{n}.pt``
+format exactly (SURVEY.md §2.7): a torch-pickled dict of the four parameter
+tensors plus ``clamp_threshold``, ``min_grid_scale`` and ``domain_range``
+(padded bounds, interleaved (x_min, x_max, y_min, y_max[, z_min, z_max]) —
+reference 2D/GSR.py:231-240, 3D/GSR.py:179-188).
+
+torch (CPU build) is used only here, purely as a serialization library; if
+it is unavailable we fall back to a ``.npz`` sidecar with the same keys.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+
+try:
+    import torch
+    _HAVE_TORCH = True
+except Exception:  # pragma: no cover
+    _HAVE_TORCH = False
+
+
+def _domain_range(spec: FieldSpec):
+    out = []
+    for a, b in zip(spec.lo, spec.hi):
+        out.extend([float(a), float(b)])
+    return tuple(out)
+
+
+def save_checkpoint(path: str, mix: GaussianMixture, spec: FieldSpec) -> None:
+    params = mix.to_param_dict()
+    payload = {
+        "clamp_threshold": spec.clamp_threshold,
+        "min_grid_scale": spec.min_grid_scale,
+        "domain_range": _domain_range(spec),
+    }
+    if _HAVE_TORCH:
+        payload = {k: torch.from_numpy(np.array(v, copy=True))
+                   for k, v in params.items()} | payload
+        torch.save(payload, path)
+    else:  # pragma: no cover
+        np.savez(path + ".npz", **params,
+                 clamp_threshold=spec.clamp_threshold,
+                 min_grid_scale=spec.min_grid_scale,
+                 domain_range=np.asarray(payload["domain_range"]))
+
+
+def load_checkpoint(path: str) -> Tuple[GaussianMixture, FieldSpec]:
+    if _HAVE_TORCH:
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        get = lambda k: np.asarray(data[k].detach().cpu().numpy()
+                                   if hasattr(data[k], "detach")
+                                   else data[k], np.float32)
+        dr = data["domain_range"]
+        clamp = float(data["clamp_threshold"])
+        mgs = float(data["min_grid_scale"])
+    else:  # pragma: no cover
+        data = np.load(path + ".npz")
+        get = lambda k: np.asarray(data[k], np.float32)
+        dr = tuple(float(v) for v in data["domain_range"])
+        clamp = float(data["clamp_threshold"])
+        mgs = float(data["min_grid_scale"])
+    positions = get("positions")
+    d = positions.shape[1]
+    values = get("values")
+    lo = tuple(float(dr[2 * i]) for i in range(d))
+    hi = tuple(float(dr[2 * i + 1]) for i in range(d))
+    spec = FieldSpec(d=d, vdim=values.shape[1], clamp_threshold=clamp,
+                     min_grid_scale=mgs, lo=lo, hi=hi)
+    mix = GaussianMixture.from_arrays(positions, get("scalings"),
+                                      get("rotations"), values, spec)
+    return mix, spec

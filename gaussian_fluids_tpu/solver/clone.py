@@ -1,0 +1,313 @@
+"""Clone + adaptive splitting ("reseeding") and the re-fit that follows.
+
+Per frame the solver copies the current field, splits over-stretched
+Gaussians into two children, freezes everything except the children and
+their neighbours, and re-fits to the old field (reference
+2D/advance.py:58-158, 3D/advance.py:51-165).
+
+Splitting is a host-side (numpy) restructuring — it runs once per frame and
+changes N, so it lives outside jit; arrays are re-padded to the bucket size
+and the jitted training loop keeps static shapes. The re-fit is a chunked
+``lax.scan`` like solver/fit.py, with per-Gaussian freezing applied by
+stop-gradient masks (replacing the reference kernels' ``stop_gradient[j]``
+row skips, 2D/GSR.py:291-292).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.ops.rotations import precision_matrix
+from gaussian_fluids_tpu.solver import losses, optim
+
+
+def _repad_like(mix: GaussianMixture, capacity: int,
+                spec: FieldSpec) -> GaussianMixture:
+    """Re-pad a mixture to a target capacity (>= its alive count) so the
+    old/new fields share one jit specialization per bucket size."""
+    if mix.capacity == capacity:
+        return mix
+    m = mix.compact()
+
+    def pad(a, fill=0.0):
+        out = np.full((capacity,) + a.shape[1:], fill, np.float32)
+        out[: a.shape[0]] = np.asarray(a)
+        return jnp.asarray(out)
+
+    pos = pad(m.positions)
+    pos = pos.at[int(m.positions.shape[0]):].set(
+        jnp.asarray(spec.lo, jnp.float32))
+    rot = pad(m.rotations)
+    if spec.d == 3:
+        rot = rot.at[int(m.positions.shape[0]):, 0].set(1.0)
+    alive = jnp.zeros((capacity,), bool).at[: m.positions.shape[0]].set(True)
+    return GaussianMixture(pos, pad(m.scalings), rot, pad(m.values), alive)
+
+
+def _sample_children(rng: np.random.RandomState, mu: np.ndarray,
+                     prec: np.ndarray, n_children: int = 2) -> np.ndarray:
+    """Sample children from N(mu, prec^{-1}) (reference uses
+    MultivariateNormal(..., precision_matrix=sym(prec)).sample((2,)),
+    2D/advance.py:72). prec is symmetrised first."""
+    prec = 0.5 * (prec + np.swapaxes(prec, -1, -2))
+    L = np.linalg.cholesky(prec)          # prec = L L^T
+    z = rng.standard_normal((n_children,) + mu.shape).astype(np.float32)
+    # x = mu + L^{-T} z  has covariance (L L^T)^{-1}
+    delta = np.linalg.solve(np.swapaxes(L, -1, -2)[None], z[..., None])
+    return (mu[None] + delta[..., 0]).reshape(-1, mu.shape[-1])
+
+
+def split_gaussians_2d(mix: GaussianMixture, spec: FieldSpec,
+                       rng: np.random.RandomState
+                       ) -> Tuple[GaussianMixture, np.ndarray, int]:
+    """One splitting pass, ratio >= 1.5, shrink the long axis by log(1.5)
+    (reference 2D/advance.py:67-86). Returns (new mixture, stop_gradient
+    mask over compact entries, number of parents split)."""
+    m = mix.compact()
+    pos = np.asarray(m.positions)
+    sca = np.asarray(m.scalings)
+    rot = np.asarray(m.rotations)
+    val = np.asarray(m.values)
+    ratio = np.exp(sca.max(-1) - sca.min(-1))
+    need = ratio >= 1.5
+    n_split = int(need.sum())
+    if n_split == 0:
+        stop = np.ones((pos.shape[0],), bool)
+        return GaussianMixture.from_arrays(pos, sca, rot, val, spec), stop, 0
+
+    prec = np.asarray(precision_matrix(jnp.asarray(sca[need]),
+                                       jnp.asarray(rot[need]), 2))
+    child_pos = _sample_children(rng, pos[need], prec)
+    child_rot = np.tile(rot[need], 2)
+    child_sca = np.tile(sca[need], (2, 1))
+    axis1 = child_sca[:, 1] < child_sca[:, 0]
+    child_sca[axis1, 1] += np.log(1.5)
+    child_sca[~axis1, 0] += np.log(1.5)
+    child_val = np.tile(val[need], (2, 1))
+
+    new_pos = np.concatenate([pos[~need], child_pos])
+    new_rot = np.concatenate([rot[~need], child_rot])
+    new_sca = np.concatenate([sca[~need], child_sca])
+    new_val = np.concatenate([val[~need], child_val])
+    stop = np.zeros((new_pos.shape[0],), bool)
+    stop[: int((~need).sum())] = True
+    return (GaussianMixture.from_arrays(new_pos, new_sca, new_rot, new_val,
+                                        spec), stop, n_split)
+
+
+def split_gaussians_3d(mix: GaussianMixture, spec: FieldSpec,
+                       rng: np.random.RandomState
+                       ) -> Tuple[GaussianMixture, np.ndarray, int]:
+    """Loop-until-none splitting, ratio >= 2 (reference
+    3D/advance.py:61-87): the parent's shortest-scale axis gets += log 2,
+    all axes -= log(2)/3, then two children copy the modified shape;
+    children's positions are clamped to the padded domain."""
+    m = mix.compact()
+    pos = np.asarray(m.positions)
+    sca = np.asarray(m.scalings)
+    rot = np.asarray(m.rotations)
+    val = np.asarray(m.values)
+    stop = np.ones((pos.shape[0],), bool)
+    total_split = 0
+    lo = np.asarray(spec.lo, np.float32)
+    hi = np.asarray(spec.hi, np.float32)
+    while True:
+        ratio = np.exp(sca.max(-1) - sca.min(-1))
+        need = ratio >= 2.0
+        n_split = int(need.sum())
+        print(f"Add {n_split} particles. {float(ratio.max())}")
+        if n_split == 0:
+            break
+        total_split += n_split
+        axis_min = sca[need].argmin(-1)
+        prec = np.asarray(precision_matrix(jnp.asarray(sca[need]),
+                                           jnp.asarray(rot[need]), 3))
+        child_pos = _sample_children(rng, pos[need], prec)
+        child_pos = np.clip(child_pos, lo, hi)
+        child_rot = np.tile(rot[need], (2, 1))
+        mod = sca[need].copy()
+        mod[np.arange(n_split), axis_min] += np.log(2.0)
+        mod -= np.log(2.0) / 3.0
+        child_sca = np.tile(mod, (2, 1))
+        child_val = np.tile(val[need], (2, 1))
+        pos = np.concatenate([pos[~need], child_pos])
+        rot = np.concatenate([rot[~need], child_rot])
+        sca = np.concatenate([sca[~need], child_sca])
+        val = np.concatenate([val[~need], child_val])
+        stop = np.concatenate([stop[~need],
+                               np.zeros((2 * n_split,), bool)])
+    return (GaussianMixture.from_arrays(pos, sca, rot, val, spec), stop,
+            total_split)
+
+
+def _unfreeze_neighbors(mix: GaussianMixture, spec: FieldSpec,
+                        stop: np.ndarray) -> jnp.ndarray:
+    """stop &= ~neighbors(new Gaussians) (reference 2D/advance.py:92)."""
+    n = int(mix.n_alive())
+    stop_full = np.zeros((mix.capacity,), bool)
+    stop_full[:n] = stop
+    free_pos = np.asarray(mix.positions)[:n][~stop]
+    if free_pos.shape[0] == 0:
+        return jnp.asarray(stop_full)
+    radius = spec.max_reach(float(mix.min_scaling()))
+    near = field.neighbor_mark(mix, spec, jnp.asarray(free_pos),
+                               jnp.asarray(radius, jnp.float32))
+    return jnp.asarray(stop_full) & ~near
+
+
+def _mixf(p, alive):
+    return GaussianMixture(p["positions"], p["scalings"], p["rotations"],
+                           p["values"], alive)
+
+
+@functools.lru_cache(maxsize=None)
+def _clone_runner(spec: FieldSpec, batch_size: int):
+    """Cached jitted (chunk-runner, test-metrics) pair; the old field's
+    parameters flow in as runtime data so frames don't recompile."""
+    d = spec.d
+
+    def loss_fn(params, alive, stop, x, ref_val, ref_jac):
+        frozen = losses.freeze_params(params, stop)
+        val, jac = field.value_and_jac(_mixf(frozen, alive), spec, x)
+        l_val = losses.value_loss(val, ref_val)
+        l_grad = losses.grad_loss(jac, ref_jac)
+        l_aniso = losses.aniso_loss(params["scalings"], alive & ~stop)
+        l_vol = losses.volume_loss(params["scalings"], alive,
+                                   detach_mask=stop)
+        total = l_val + l_grad + l_aniso + l_vol
+        return total, jnp.stack([l_val, l_grad, l_aniso, l_vol])
+
+    def epoch(carry, key):
+        params, opt_state, alive, stop, old_params, old_alive, lo, hi = carry
+        x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
+            * (hi - lo) + lo
+        ref_val, ref_jac = field.value_and_jac(
+            _mixf(old_params, old_alive), spec, x)
+        ref_val = jax.lax.stop_gradient(ref_val)
+        ref_jac = jax.lax.stop_gradient(ref_jac)
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, alive, stop, x, ref_val, ref_jac)
+        params, opt_state = optim.step(opt_state, params, grads, total)
+        return (params, opt_state, alive, stop, old_params, old_alive,
+                lo, hi), aux
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, key, n):
+        keys = jax.random.split(key, n)
+        return jax.lax.scan(epoch, carry, keys)
+
+    @jax.jit
+    def test_fn(params, alive, old_params, old_alive, test_x):
+        mix = _mixf(params, alive)
+        old_mix = _mixf(old_params, old_alive)
+        b = test_x.shape[0]
+        chunk = min(4096, b)
+        nchunk = -(-b // chunk)
+        xp = jnp.zeros((nchunk * chunk, d), jnp.float32).at[:b].set(test_x)
+        valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
+
+        def one(args):
+            xc, vc = args
+            rv, rj = field.value_and_jac(old_mix, spec, xc)
+            v, j = field.value_and_jac(mix, spec, xc)
+            lv = (jnp.abs(v - rv).mean(-1) * vc).sum()
+            lg = (jnp.abs(j - rj).mean((-1, -2)) * vc).sum()
+            return jnp.stack([lv, lg])
+
+        out = jax.lax.map(one, (xp.reshape(nchunk, chunk, d), valid))
+        return out[:, 0].sum() / b, out[:, 1].sum() / b
+
+    return run_chunk, test_fn
+
+
+def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
+                         lo, hi, test_x, key, seed: int = 0, d: int = 2,
+                         lrs: Optional[Dict[str, float]] = None,
+                         batch_size: int = 512, max_epoch: int = 3000,
+                         patience: int = 500, check_iter: int = 100,
+                         verbose: int = 1) -> GaussianMixture:
+    """Full clone: split + freeze + re-fit to the old field (reference
+    2D/advance.py:58-158). Returns the new mixture (possibly with more
+    Gaussians)."""
+    rng = np.random.RandomState(seed)
+    if d == 2:
+        new_mix, stop_np, n_split = split_gaussians_2d(old_mix, spec, rng)
+        if lrs is None:
+            # reference 2D/advance.py:122
+            lrs = {"positions": 1e-2, "scalings": 5e-2, "rotations": 5e-2,
+                   "values": 5e-3}
+    else:
+        new_mix, stop_np, n_split = split_gaussians_3d(old_mix, spec, rng)
+        if lrs is None:
+            # reference 3D/advance.py:121-124
+            lrs = {"positions": 1e-3, "scalings": 1e-3, "rotations": 1e-3,
+                   "values": 1e-3}
+    if n_split == 0:
+        return new_mix
+    stop = _unfreeze_neighbors(new_mix, spec, stop_np)
+    if verbose:
+        print(f"[clone] Add {n_split} particles.")
+
+    run_chunk, test_fn = _clone_runner(spec, batch_size)
+
+    # the old field may live in a smaller padding bucket than the split
+    # result; repad it to the same capacity so both flow through one jit
+    old_padded = _repad_like(old_mix, new_mix.capacity, spec)
+
+    params = new_mix.params()
+    opt_state = optim.init(params, lrs, patience=50)
+    lo_j = jnp.asarray(lo, jnp.float32)
+    hi_j = jnp.asarray(hi, jnp.float32)
+    carry = (params, opt_state, new_mix.alive, stop, old_padded.params(),
+             old_padded.alive, lo_j, hi_j)
+
+    def metrics(c):
+        return jax.device_get(test_fn(c[0], c[2], c[4], c[5], test_x))
+
+    if verbose:
+        lv, lg = metrics(carry)
+        print(f"[clone] loss: {lv}, loss_grad: {lg}")
+
+    pat_v, pat_g = _ClonePatience(1e-3), _ClonePatience(1e-3)
+    st = time.time()
+    done = 0
+    while done < max_epoch:
+        n = min(check_iter, max_epoch - done)
+        key, sub = jax.random.split(key)
+        carry, _ = run_chunk(carry, sub, n)
+        done += n
+        lv, lg = metrics(carry)
+        if verbose:
+            print(f"[clone] loss: {lv}, loss_grad: {lg}, "
+                  f"time: {time.time() - st}")
+            st = time.time()
+        pat_v.update(float(lv), n)
+        pat_g.update(float(lg), n)
+        if pat_v.iters >= patience and pat_g.iters >= patience:
+            print("[clone] Total epoch:", done)
+            break
+    else:
+        print("[clone] Total epoch:", max_epoch,
+              "(Reached maximum iteration number)")
+
+    return new_mix.with_params(carry[0])
+
+
+class _ClonePatience:
+    def __init__(self, rel):
+        self.best, self.iters, self.rel = np.inf, 0, rel
+
+    def update(self, value, check_iter):
+        if value < self.best * (1.0 - self.rel):
+            self.best, self.iters = value, 0
+        else:
+            self.iters += check_iter

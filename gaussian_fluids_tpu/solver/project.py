@@ -1,0 +1,381 @@
+"""Projection: the per-frame PDE solve.
+
+Drives the advected field toward the transported vorticity target with zero
+divergence, boundary constraints, and shape regularizers — as a first-order
+Adam optimization (reference 2D/advance.py:187-302, 3D/advance.py:182-331).
+
+TPU structure: each epoch is one fused XLA program (sample batch -> RK4
+covector target -> one shared forward + two VJP pullbacks for the vorticity
+and divergence heads -> PCGrad conflict projection -> regularizer/boundary
+grads -> 4-group Adam). Epochs run under ``lax.scan`` in chunks of
+``check_iter``; the host only sees test metrics between chunks for the
+patience-based early stop (reference 2D/advance.py:282-300), keeping jit
+shapes static.
+
+The jitted chunk runners are cached per static configuration and take the
+*old* field's parameters as runtime arguments, so the frame loop compiles
+exactly once per bucket size instead of once per frame.
+
+The reference computes the vor/div gradients in one kernel pass into
+separate buffers (2D/GSR.py:365-476); here ``jax.vjp`` with two cotangents
+shares the forward the same way.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.solver import covector, losses, optim
+
+
+class ProjectWeights(NamedTuple):
+    """Loss weights. 2D advance: (1, 1, 10, 10, .5) (reference
+    2D/advance.py:198); Karman init: (1, 10, 10, 10, 0) (reference
+    2D/initialize.py:55); 3D adds hel=1, val_reg=0 with aniso=vol=10
+    (reference 3D/advance.py:184)."""
+    vor: float = 1.0
+    div: float = 1.0
+    aniso: float = 10.0
+    vol: float = 10.0
+    delta_pos: float = 0.5
+    hel: float = 1.0
+    val_reg: float = 0.0
+
+
+def _uniform_batch(key, n, lo, hi):
+    d = lo.shape[0]
+    return jax.random.uniform(key, (n, d), jnp.float32) * (hi - lo) + lo
+
+
+def _mix(p, alive):
+    return GaussianMixture(p["positions"], p["scalings"], p["rotations"],
+                           p["values"], alive)
+
+
+class _Patience:
+    """Reference early-stop bookkeeping (2D/advance.py:288-300)."""
+
+    def __init__(self, rel):
+        self.best, self.iters, self.rel = np.inf, 0, rel
+
+    def update(self, value, check_iter):
+        if value < self.best * (1.0 - self.rel):
+            self.best, self.iters = value, 0
+        else:
+            self.iters += check_iter
+
+
+# --------------------------------------------------------------------------
+# 2D
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
+               boundary_lambda: float, batch_size: int):
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    scene = get_scene_2d(scene_name)
+    bs1, bs2 = scene.boundary_sampler_1, scene.boundary_sampler_2
+    sf = scene.scaling_factor
+
+    def epoch(carry, key):
+        (params, opt_state, alive, positions_org, old_params, old_alive,
+         adv, dt) = carry
+        old_mix = _mix(old_params, old_alive)
+        kd, kb1, kb2 = jax.random.split(key, 3)
+        lo = jnp.stack([adv[0], adv[2]]) * sf
+        hi = jnp.stack([adv[1], adv[3]]) * sf
+        data = _uniform_batch(kd, batch_size, lo, hi)
+        ref_vor = jax.lax.stop_gradient(covector.advected_vorticity_2d(
+            old_mix, spec, data, dt, lo, hi))
+
+        def heads(p):
+            _, jac = field.value_and_jac(_mix(p, alive), spec, data)
+            l_vor = w.vor * losses.vorticity_loss_2d(jac, ref_vor)
+            l_div = w.div * losses.divergence_loss(jac)
+            return l_vor, l_div
+
+        (l_vor, l_div), vjp = jax.vjp(heads, params)
+        g_vor = vjp((jnp.ones(()), jnp.zeros(())))[0]
+        g_div = vjp((jnp.zeros(()), jnp.ones(())))[0]
+
+        def rest(p):
+            m = _mix(p, alive)
+            total = (w.aniso * losses.aniso_loss(p["scalings"], alive)
+                     + w.vol * losses.volume_loss(p["scalings"], alive)
+                     + w.delta_pos * losses.delta_pos_loss(
+                         p["positions"], positions_org, alive))
+            bc = jnp.zeros(())
+            if boundary_lambda > 0.0 and bs1 is not None:
+                bd, bval = bs1(kb1, batch_size, adv)
+                c1 = losses.boundary_dirichlet_loss(
+                    field.value(m, spec, bd), bval)
+                total = total + boundary_lambda * c1
+                bc = bc + c1
+            if boundary_lambda > 0.0 and bs2 is not None:
+                bd, bn, bnr = bs2(kb2, batch_size, adv)
+                c2 = losses.boundary_flux_loss(
+                    field.value(m, spec, bd), bn, bnr)
+                total = total + boundary_lambda * c2
+                bc = bc + c2
+            return total, bc
+
+        (l_rest, bc), g_rest = jax.value_and_grad(rest, has_aux=True)(params)
+        g_data = losses.pcgrad_combine(g_vor, g_div)
+        grads = {k: g_rest[k] + g_data[k] for k in params}
+        loss_tot = l_vor + l_div + l_rest
+        params, opt_state = optim.step(opt_state, params, grads, loss_tot)
+        carry = (params, opt_state, alive, positions_org, old_params,
+                 old_alive, adv, dt)
+        return carry, jnp.stack([l_vor, l_div, bc])
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, key, n):
+        keys = jax.random.split(key, n)
+        return jax.lax.scan(epoch, carry, keys)
+
+    @jax.jit
+    def test_fn(params, alive, old_params, old_alive, test_x, adv, dt):
+        mix = _mix(params, alive)
+        old_mix = _mix(old_params, old_alive)
+        lo = jnp.stack([adv[0], adv[2]]) * sf
+        hi = jnp.stack([adv[1], adv[3]]) * sf
+        b = test_x.shape[0]
+        chunk = min(4096, b)
+        nchunk = -(-b // chunk)
+        xp = jnp.zeros((nchunk * chunk, 2), jnp.float32).at[:b].set(test_x)
+        valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
+
+        def one(args):
+            xc, vc = args
+            rv = covector.advected_vorticity_2d(old_mix, spec, xc, dt, lo, hi)
+            _, jac = field.value_and_jac(mix, spec, xc)
+            lv = jnp.abs(losses.curl2d(jac) - rv) * vc
+            ld = losses.divergence(jac) ** 2 * vc
+            return jnp.stack([lv.sum(), ld.sum(), ld.max()])
+
+        out = jax.lax.map(one, (xp.reshape(nchunk, chunk, 2), valid))
+        return out[:, 0].sum() / b, out[:, 1].sum() / b, out[:, 2].max()
+
+    return run_chunk, test_fn
+
+
+def project_2d(mix: GaussianMixture, spec: FieldSpec,
+               old_mix: GaussianMixture, dt: float, *,
+               scene, adv_domain, test_x, key,
+               weights: ProjectWeights = ProjectWeights(),
+               boundary_lambda: float = 1.0,
+               lrs: Optional[Dict[str, float]] = None,
+               batch_size: int = 512, max_epoch: int = 3000,
+               patience: int = 500, check_iter: int = 100,
+               verbose: int = 1) -> GaussianMixture:
+    """2D projection (reference 2D/advance.py:187-302)."""
+    if lrs is None:
+        # reference 2D/advance.py:261
+        lrs = {"positions": 1e-4, "scalings": 1e-4, "rotations": 1e-4,
+               "values": 1e-4}
+    run_chunk, test_fn = _runner_2d(spec, scene.name, weights,
+                                    float(boundary_lambda), batch_size)
+
+    params = mix.params()
+    opt_state = optim.init(params, lrs, patience=50)
+    adv = jnp.asarray(adv_domain, jnp.float32)
+    dt_j = jnp.asarray(dt, jnp.float32)
+    carry = (params, opt_state, mix.alive,
+             jax.lax.stop_gradient(mix.positions), old_mix.params(),
+             old_mix.alive, adv, dt_j)
+
+    def metrics(c):
+        return jax.device_get(test_fn(c[0], c[2], c[4], c[5], test_x, adv,
+                                      dt_j))
+
+    if verbose:
+        lv, ld, ldm = metrics(carry)
+        print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
+              f"loss_div_max: {ldm}")
+
+    pat_vor, pat_div = _Patience(1e-3), _Patience(1e-2)
+    st = time.time()
+    done = 0
+    while done < max_epoch:
+        n = min(check_iter, max_epoch - done)
+        key, sub = jax.random.split(key)
+        carry, _ = run_chunk(carry, sub, n)
+        done += n
+        lv, ld, ldm = metrics(carry)
+        if verbose:
+            print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
+                  f"loss_div_max: {ldm}, time: {time.time() - st}")
+            st = time.time()
+        pat_vor.update(float(lv), n)
+        pat_div.update(float(ld), n)
+        if pat_vor.iters >= patience and pat_div.iters >= patience:
+            print("[projection] Total epoch:", done)
+            break
+    else:
+        print("[projection] Total epoch:", max_epoch,
+              "(Reached maximum iteration number)")
+
+    return mix.with_params(carry[0])
+
+
+# --------------------------------------------------------------------------
+# 3D
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
+               w: ProjectWeights, boundary_lambda: float, batch_size: int,
+               lo: tuple, hi: tuple):
+    bs_freeslip = None
+    if scene_name is not None:
+        from gaussian_fluids_tpu.scenes import get_scene_3d
+        bs_freeslip = get_scene_3d(scene_name).boundary_sampler
+    lo_j = jnp.asarray(lo, jnp.float32)
+    hi_j = jnp.asarray(hi, jnp.float32)
+
+    def epoch(carry, key):
+        (params, opt_state, alive, old_params, old_alive, dt) = carry
+        old_mix = _mix(old_params, old_alive)
+        kd, kb = jax.random.split(key)
+        data = _uniform_batch(kd, batch_size, lo_j, hi_j)
+        ref_vor, ref_hel = covector.advected_vorticity_3d(
+            old_mix, spec, data, dt)
+        ref_vor = jax.lax.stop_gradient(ref_vor)
+        ref_hel = jax.lax.stop_gradient(ref_hel)
+
+        def heads(p):
+            val, jac = field.value_and_jac(_mix(p, alive), spec, data)
+            # helicity accumulates into the vorticity PCGrad bucket
+            # (reference 3D/GSR.py:508-520)
+            l_vorhel = (w.vor * losses.vorticity_loss_3d(jac, ref_vor)
+                        + w.hel * losses.helicity_loss(val, jac, ref_hel))
+            l_div = w.div * losses.divergence_loss(jac)
+            return l_vorhel, l_div
+
+        (l_vorhel, l_div), vjp = jax.vjp(heads, params)
+        g_vor = vjp((jnp.ones(()), jnp.zeros(())))[0]
+        g_div = vjp((jnp.zeros(()), jnp.ones(())))[0]
+
+        def rest(p):
+            m = _mix(p, alive)
+            total = (w.aniso * losses.aniso_loss(p["scalings"], alive)
+                     + w.vol * losses.volume_loss(p["scalings"], alive)
+                     + w.val_reg * losses.value_reg_loss(p["values"], alive))
+            bc = jnp.zeros(())
+            if boundary_lambda > 0.0 and bs_freeslip is not None:
+                bd, bn = bs_freeslip(kb, batch_size)
+                c = losses.boundary_freeslip_loss(
+                    field.value(m, spec, bd), bn)
+                total = total + boundary_lambda * c
+                bc = bc + c
+            return total, bc
+
+        (l_rest, bc), g_rest = jax.value_and_grad(rest, has_aux=True)(params)
+        g_data = losses.pcgrad_combine(g_vor, g_div)
+        grads = {k: g_rest[k] + g_data[k] for k in params}
+        loss_tot = l_vorhel + l_div + l_rest
+        params, opt_state = optim.step(opt_state, params, grads, loss_tot)
+        carry = (params, opt_state, alive, old_params, old_alive, dt)
+        return carry, jnp.stack([l_vorhel, l_div, bc])
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, key, n):
+        keys = jax.random.split(key, n)
+        return jax.lax.scan(epoch, carry, keys)
+
+    @jax.jit
+    def test_fn(params, alive, old_params, old_alive, test_x, dt):
+        mix = _mix(params, alive)
+        old_mix = _mix(old_params, old_alive)
+        b = test_x.shape[0]
+        chunk = min(4096, b)
+        nchunk = -(-b // chunk)
+        xp = jnp.zeros((nchunk * chunk, 3), jnp.float32).at[:b].set(test_x)
+        valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
+
+        def one(args):
+            xc, vc = args
+            rv, rh = covector.advected_vorticity_3d(old_mix, spec, xc, dt)
+            val, jac = field.value_and_jac(mix, spec, xc)
+            vor = losses.curl3d(jac)
+            lv = jnp.abs(vor - rv).mean(axis=-1) * vc
+            lh = jnp.abs(jnp.sum(val * vor, -1) - rh) * vc
+            ld = losses.divergence(jac) ** 2 * vc
+            return jnp.stack([lv.sum(), lh.sum(), ld.sum(), ld.max()])
+
+        out = jax.lax.map(one, (xp.reshape(nchunk, chunk, 3), valid))
+        return (out[:, 0].sum() / b, out[:, 1].sum() / b,
+                out[:, 2].sum() / b, out[:, 3].max())
+
+    return run_chunk, test_fn
+
+
+def project_3d(mix: GaussianMixture, spec: FieldSpec,
+               old_mix: GaussianMixture, dt: float, *,
+               domain, test_x, key, scene_name: Optional[str] = None,
+               weights: ProjectWeights = ProjectWeights(delta_pos=0.0),
+               boundary_lambda: float = 10.0,
+               lrs: Optional[Dict[str, float]] = None,
+               batch_size: int = 8192, max_epoch: int = 3000,
+               patience: int = 500, check_iter: int = 100,
+               verbose: int = 1) -> GaussianMixture:
+    """3D projection (reference 3D/advance.py:182-331)."""
+    if lrs is None:
+        # reference 3D/advance.py:258-261
+        lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
+               "values": 1e-5}
+    x_min, x_max, y_min, y_max, z_min, z_max = domain
+    run_chunk, test_fn = _runner_3d(
+        spec, scene_name, weights, float(boundary_lambda), batch_size,
+        (x_min, y_min, z_min), (x_max, y_max, z_max))
+
+    params = mix.params()
+    opt_state = optim.init(params, lrs, patience=50)
+    dt_j = jnp.asarray(dt, jnp.float32)
+    carry = (params, opt_state, mix.alive, old_mix.params(), old_mix.alive,
+             dt_j)
+
+    def metrics(c):
+        return jax.device_get(test_fn(c[0], c[2], c[3], c[4], test_x, dt_j))
+
+    if verbose:
+        lv, lh, ld, ldm = metrics(carry)
+        print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, loss_div: {ld},"
+              f" loss_div_max: {ldm}")
+
+    pat_vor, pat_hel, pat_div = (_Patience(1e-3), _Patience(1e-3),
+                                 _Patience(1e-3))
+    st = time.time()
+    done = 0
+    while done < max_epoch:
+        n = min(check_iter, max_epoch - done)
+        key, sub = jax.random.split(key)
+        carry, _ = run_chunk(carry, sub, n)
+        done += n
+        lv, lh, ld, ldm = metrics(carry)
+        if verbose:
+            print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, "
+                  f"loss_div: {ld}, loss_div_max: {ldm}, "
+                  f"time: {time.time() - st}")
+            st = time.time()
+        pat_vor.update(float(lv), n)
+        pat_hel.update(float(lh), n)
+        pat_div.update(float(ld), n)
+        if (pat_vor.iters >= patience and pat_hel.iters >= patience
+                and pat_div.iters >= patience):
+            print("[projection] Total epoch:", done)
+            break
+    else:
+        print("[projection] Total epoch:", max_epoch,
+              "(Reached maximum iteration number)")
+
+    return mix.with_params(carry[0])

@@ -1,0 +1,200 @@
+"""2D end-to-end flows: initialization and the frame loop.
+
+Reference call stacks: SimulationInitialize (2D/initialize.py:187-238),
+init_karman_velocity (2D/initialize.py:162-185) and the advance __main__
+frame loop clone -> advect -> project -> save (2D/advance.py:304-365).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.io import checkpoint
+from gaussian_fluids_tpu.scenes import get_scene_2d
+from gaussian_fluids_tpu.solver import losses
+from gaussian_fluids_tpu.solver.advect_field import advect_covector_field_2d
+from gaussian_fluids_tpu.solver.clone import clone_velocity_field
+from gaussian_fluids_tpu.solver.fit import fit_velocity_with_gradient
+from gaussian_fluids_tpu.solver.project import ProjectWeights, project_2d
+from gaussian_fluids_tpu.utils.grids import grid_points_2d
+
+LR_RATIO = 1.201956  # reference 2D/initialize.py:118,163
+
+
+def _viz_frame(out_dir, tag, mix, spec, scene, with_refs=False):
+    """The reference's four per-frame PNGs (2D/advance.py:347-350)."""
+    from gaussian_fluids_tpu.io import viz2d
+    sf = scene.scaling_factor
+    x0i, x1i, y0i, y1i = scene.initialize_domain
+    x0v, x1v, y0v, y1v = scene.visualize_domain
+    xnv, ynv = scene.visualize_res
+
+    def gauss_vel(x):
+        return np.asarray(field.value_and_jac_chunked(
+            mix, spec, jnp.asarray(x, jnp.float32))[0])
+
+    def orig_vel(x):
+        return gauss_vel(np.asarray(x) * sf) / sf
+
+    def orig_vor(x):
+        _, j = field.value_and_jac_chunked(mix, spec,
+                                           jnp.asarray(x * sf, jnp.float32))
+        return np.asarray(losses.curl2d(j))
+
+    def orig_div(x):
+        _, j = field.value_and_jac_chunked(mix, spec,
+                                           jnp.asarray(x * sf, jnp.float32))
+        return np.asarray(losses.divergence(j))
+
+    viz2d.show_field(gauss_vel, x0i * sf, x1i * sf, y0i * sf, y1i * sf,
+                     dim=2, x_n=30, y_n=30,
+                     additional_drawing=lambda: viz2d.draw_ellipses(mix),
+                     save_filename=os.path.join(out_dir, f"{tag}.png"))
+    viz2d.show_field(orig_vel, x0v, x1v, y0v, y1v, dim=2, x_n=30, y_n=30,
+                     save_filename=os.path.join(out_dir, f"clean_{tag}.png"))
+    viz2d.show_field(orig_vor, x0v, x1v, y0v, y1v, x_n=xnv, y_n=ynv,
+                     save_filename=os.path.join(out_dir,
+                                                f"vorticity_{tag}.png"))
+    viz2d.show_field(orig_div, x0v, x1v, y0v, y1v, x_n=xnv, y_n=ynv,
+                     save_filename=os.path.join(out_dir,
+                                                f"divergence_{tag}.png"))
+
+
+def initialize_2d(init_cond: str, out_dir: str, max_epoch: int = 10000,
+                  batch_size: int = 512, seed: int = 42,
+                  viz: bool = True, particle_count=None, verbose: int = 1):
+    """Initial fitting entry point (reference 2D/initialize.py:187-238)."""
+    os.makedirs(out_dir, exist_ok=True)
+    scene = get_scene_2d(init_cond)
+    sf = scene.scaling_factor
+    x0, x1, y0, y1 = scene.initialize_domain
+    lo = (x0 * sf, y0 * sf)
+    hi = (x1 * sf, y1 * sf)
+    x_n, y_n = particle_count or scene.particle_count
+
+    pos = grid_points_2d(lo[0], hi[0], lo[1], hi[1], x_n, y_n)
+    spec = FieldSpec.create(lo, hi, pos.shape[0], d=2, vdim=2)
+    mix = GaussianMixture.create(pos, spec)
+    print(f"Particle count: {pos.shape[0]} ({x_n} x {y_n})")
+
+    key = jax.random.PRNGKey(seed)
+    if viz:
+        from gaussian_fluids_tpu.io import viz2d
+        xnv, ynv = scene.visualize_res
+        viz2d.show_field(lambda x: np.asarray(scene.velocity(
+            jnp.asarray(x))), x0, x1, y0, y1, dim=2, x_n=30, y_n=30,
+            save_filename=os.path.join(out_dir, "refvelocity.png"))
+        viz2d.show_field(lambda x: np.asarray(losses.curl2d(
+            scene.velocity_jac(jnp.asarray(x)))), x0, x1, y0, y1,
+            x_n=xnv, y_n=ynv,
+            save_filename=os.path.join(out_dir, "refvorticity.png"))
+        viz2d.show_field(lambda x: np.asarray(losses.divergence(
+            scene.velocity_jac(jnp.asarray(x)))), x0, x1, y0, y1,
+            x_n=xnv, y_n=ynv,
+            save_filename=os.path.join(out_dir, "refdivergence.png"))
+
+    if init_cond == "karman":
+        mix = _init_karman(mix, spec, scene, key, max_epoch, batch_size,
+                           verbose)
+    else:
+        # reference 2D/initialize.py:225-226
+        mix = fit_velocity_with_gradient(
+            mix, spec, scene.target_velocity, scene.target_velocity_jac,
+            lo, hi,
+            lrs={"positions": 1.6e-3, "scalings": 5e-2, "rotations": 5e-2,
+                 "values": 5e-3},
+            batch_size=batch_size, max_epoch=max_epoch, key=key,
+            verbose=verbose)
+
+    checkpoint.save_checkpoint(
+        os.path.join(out_dir, "gaussian_velocity_0.pt"), mix, spec)
+    if viz:
+        _viz_frame(out_dir, "0", mix, spec, scene)
+    return mix, spec
+
+
+def _init_karman(mix, spec, scene, key, max_epoch, batch_size, verbose):
+    """Karman special init: fit uniform inflow, then a zero-dt projection
+    against a frozen copy carves the cylinder (reference
+    2D/initialize.py:162-185)."""
+    sf = scene.scaling_factor
+    x0, x1, y0, y1 = scene.initialize_domain
+    lo, hi = (x0 * sf, y0 * sf), (x1 * sf, y1 * sf)
+    key, k1, k2 = jax.random.split(key, 3)
+    mix = fit_velocity_with_gradient(
+        mix, spec, scene.target_velocity, scene.target_velocity_jac, lo, hi,
+        lrs={"positions": 1.6e-3, "scalings": 5e-3,
+             "rotations": 5e-3 * LR_RATIO, "values": 5e-3},
+        batch_size=batch_size, max_epoch=max_epoch, key=k1, verbose=verbose)
+    frozen = GaussianMixture(mix.positions, mix.scalings, mix.rotations,
+                             mix.values, mix.alive)
+    xnv, ynv = scene.visualize_res
+    adv = scene.advance_domain
+    test_x = jnp.asarray(grid_points_2d(
+        adv[0] * sf, adv[1] * sf, adv[2] * sf, adv[3] * sf, xnv, ynv))
+    return project_2d(
+        mix, spec, frozen, 0.0, scene=scene, adv_domain=adv, test_x=test_x,
+        key=k2,
+        weights=ProjectWeights(vor=1.0, div=10.0, aniso=10.0, vol=10.0,
+                               delta_pos=0.0),
+        boundary_lambda=10.0,
+        lrs={"positions": 1e-4, "scalings": 1e-5,
+             "rotations": 1e-5 * LR_RATIO, "values": 1e-4},
+        batch_size=batch_size, max_epoch=min(10000, max_epoch),
+        patience=10000, verbose=verbose)
+
+
+def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
+               start_frame: int = 0, max_epoch: int = 20000,
+               batch_size: int = 512, seed: int = 42, viz: bool = True,
+               verbose: int = 1, test_res: Optional[tuple] = None):
+    """Frame loop (reference 2D/advance.py:304-365)."""
+    scene = get_scene_2d(init_cond)
+    sf = scene.scaling_factor
+    adv_domain = scene.advance_domain_at(start_frame, dt)
+    ckpt = os.path.join(out_dir, f"gaussian_velocity_{start_frame}.pt")
+    mix, spec = checkpoint.load_checkpoint(ckpt)
+    key = jax.random.PRNGKey(seed + start_frame)
+
+    xnv, ynv = test_res or scene.visualize_res
+
+    def test_grid(adv):
+        return jnp.asarray(grid_points_2d(
+            adv[0] * sf, adv[1] * sf, adv[2] * sf, adv[3] * sf, xnv, ynv))
+
+    if viz:
+        _viz_frame(out_dir, str(start_frame), mix, spec, scene)
+
+    t, cnt = 0.0, start_frame + 1
+    while t < last_time:
+        key, kc, kp = jax.random.split(key, 3)
+        adv_lo = (adv_domain[0] * sf, adv_domain[2] * sf)
+        adv_hi = (adv_domain[1] * sf, adv_domain[3] * sf)
+        new_mix = clone_velocity_field(
+            mix, spec, lo=adv_lo, hi=adv_hi, test_x=test_grid(adv_domain),
+            key=kc, seed=cnt, d=2, max_epoch=max_epoch, verbose=verbose)
+        new_mix = advect_covector_field_2d(new_mix, spec, dt)
+        adv_domain = scene.extra_advect(adv_domain, dt)
+        new_mix = project_2d(
+            new_mix, spec, mix, dt, scene=scene, adv_domain=adv_domain,
+            test_x=test_grid(adv_domain), key=kp,
+            weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
+                                   delta_pos=0.5),
+            boundary_lambda=1.0, batch_size=batch_size, max_epoch=max_epoch,
+            verbose=verbose)
+        mix = new_mix
+        if viz:
+            _viz_frame(out_dir, str(cnt), mix, spec, scene)
+        checkpoint.save_checkpoint(
+            os.path.join(out_dir, f"gaussian_velocity_{cnt}.pt"), mix, spec)
+        cnt += 1
+        t += dt
+    return mix, spec

@@ -1,0 +1,219 @@
+"""3D end-to-end flows: initialization, the frame loop, and the offline
+smoke-density pipeline (reference 3D/initialize.py, 3D/advance.py:334-393,
+3D/advance_density.py)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.ops import field, interp
+from gaussian_fluids_tpu.ops.advect import rk4_advect
+from gaussian_fluids_tpu.io import checkpoint, vti
+from gaussian_fluids_tpu.scenes import get_scene_3d
+from gaussian_fluids_tpu.solver import losses
+from gaussian_fluids_tpu.solver.advect_field import advect_covector_field_3d
+from gaussian_fluids_tpu.solver.clone import clone_velocity_field
+from gaussian_fluids_tpu.solver.fit import fit_velocity_with_gradient
+from gaussian_fluids_tpu.solver.project import ProjectWeights, project_3d
+from gaussian_fluids_tpu.utils.grids import grid_points_3d
+
+
+def _vorticity_mag_fn(mix, spec):
+    def f(x):
+        _, j = field.value_and_jac_chunked(mix, spec,
+                                           jnp.asarray(x, jnp.float32))
+        return np.asarray(jnp.linalg.norm(losses.curl3d(j), axis=-1))
+    return f
+
+
+def _divergence_fn(mix, spec):
+    def f(x):
+        _, j = field.value_and_jac_chunked(mix, spec,
+                                           jnp.asarray(x, jnp.float32))
+        return np.asarray(losses.divergence(j))
+    return f
+
+
+def _write_frame_vti(out_dir, tag, mix, spec, scene, viz_res=None):
+    xn, yn, zn = viz_res or scene.visualize_res
+    vti.write_vti_field(_vorticity_mag_fn(mix, spec), scene.domain,
+                        os.path.join(out_dir, f"vorticity_{tag}.vti"),
+                        x_n=xn, y_n=yn, z_n=zn)
+    vti.write_vti_field(_divergence_fn(mix, spec), scene.domain,
+                        os.path.join(out_dir, f"divergence_{tag}.vti"),
+                        x_n=xn, y_n=yn, z_n=zn)
+
+
+def initialize_3d(init_cond: str, out_dir: str, max_epoch: int = 500,
+                  batch_size: int = 8192, seed: int = 42, viz: bool = True,
+                  particle_count=None, viz_res=None, verbose: int = 1):
+    """Initial fitting (reference 3D/initialize.py:49-100)."""
+    os.makedirs(out_dir, exist_ok=True)
+    scene = get_scene_3d(init_cond)
+    x_min, x_max, y_min, y_max, z_min, z_max = scene.domain
+    lo = (x_min, y_min, z_min)
+    hi = (x_max, y_max, z_max)
+    xn, yn, zn = particle_count or scene.particle_count
+    pos = grid_points_3d(*scene.domain, xn, yn, zn)
+    spec = FieldSpec.create(lo, hi, pos.shape[0], d=3, vdim=3)
+    mix = GaussianMixture.create(pos, spec)
+    print("Particle count:", pos.shape[0])
+    if scene.mesh_sampler is not None:
+        scene.mesh_sampler.save_obj(os.path.join(out_dir, "obstacle.obj"))
+
+    if viz:
+        vxn, vyn, vzn = viz_res or scene.visualize_res
+        vel_mag = lambda x: np.asarray(jnp.linalg.norm(
+            scene.velocity(jnp.asarray(x)), axis=-1))
+        vor_mag = lambda x: np.asarray(jnp.linalg.norm(losses.curl3d(
+            scene.velocity_jac(jnp.asarray(x))), axis=-1))
+        div_ref = lambda x: np.asarray(losses.divergence(
+            scene.velocity_jac(jnp.asarray(x))))
+        hel_ref = lambda x: np.asarray(jnp.sum(
+            losses.curl3d(scene.velocity_jac(jnp.asarray(x)))
+            * scene.velocity(jnp.asarray(x)), axis=-1))
+        for name, fn in (("velocity_ref", vel_mag), ("vorticity_ref",
+                                                     vor_mag),
+                         ("divergence_ref", div_ref),
+                         ("helicity_ref", hel_ref)):
+            vti.write_vti_field(fn, scene.domain,
+                                os.path.join(out_dir, f"{name}.vti"),
+                                x_n=vxn, y_n=vyn, z_n=vzn)
+
+    key = jax.random.PRNGKey(seed)
+    # reference 3D/GSR.py:156 Fast defaults: all group lrs 1e-3
+    mix = fit_velocity_with_gradient(
+        mix, spec, scene.velocity, scene.velocity_jac, lo, hi,
+        lrs={"positions": 1e-3, "scalings": 1e-3, "rotations": 1e-3,
+             "values": 1e-3},
+        batch_size=batch_size, max_epoch=max_epoch, key=key, verbose=verbose)
+
+    checkpoint.save_checkpoint(
+        os.path.join(out_dir, "gaussian_velocity_0.pt"), mix, spec)
+    if viz:
+        _write_frame_vti(out_dir, "0", mix, spec, scene, viz_res)
+    return mix, spec
+
+
+def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
+               start_frame: int = 0, max_epoch: int = 20000,
+               batch_size: int = 8192, boundary_lambda: float = 10.0,
+               seed: int = 42, viz: bool = True, viz_res=None,
+               test_res: Optional[tuple] = None, verbose: int = 1):
+    """Frame loop (reference 3D/advance.py:334-393)."""
+    scene = get_scene_3d(init_cond)
+    domain = scene.domain
+    x_min, x_max, y_min, y_max, z_min, z_max = domain
+    lo = (x_min, y_min, z_min)
+    hi = (x_max, y_max, z_max)
+    ckpt = os.path.join(out_dir, f"gaussian_velocity_{start_frame}.pt")
+    mix, spec = checkpoint.load_checkpoint(ckpt)
+    key = jax.random.PRNGKey(seed + start_frame)
+
+    xnv, ynv, znv = test_res or scene.visualize_res
+    test_x = jnp.asarray(grid_points_3d(*domain, xnv, ynv, znv))
+
+    if viz:
+        _write_frame_vti(out_dir, str(start_frame), mix, spec, scene,
+                         viz_res)
+
+    t, cnt = 0.0, start_frame + 1
+    while t < last_time:
+        key, kc, kp = jax.random.split(key, 3)
+        new_mix = clone_velocity_field(
+            mix, spec, lo=lo, hi=hi, test_x=test_x, key=kc, seed=cnt, d=3,
+            batch_size=batch_size, max_epoch=max_epoch, verbose=verbose)
+        new_mix = advect_covector_field_3d(new_mix, mix, spec, dt)
+        new_mix = project_3d(
+            new_mix, spec, mix, dt, domain=domain, test_x=test_x, key=kp,
+            scene_name=init_cond,
+            weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
+                                   delta_pos=0.0, hel=1.0, val_reg=0.0),
+            boundary_lambda=boundary_lambda, batch_size=batch_size,
+            max_epoch=max_epoch, verbose=verbose)
+        mix = new_mix
+        print(f"Wrote frame {cnt}")
+        if viz:
+            _write_frame_vti(out_dir, str(cnt), mix, spec, scene, viz_res)
+        checkpoint.save_checkpoint(
+            os.path.join(out_dir, f"gaussian_velocity_{cnt}.pt"), mix, spec)
+        cnt += 1
+        t += dt
+    return mix, spec
+
+
+# ---- offline smoke rendering (reference 3D/advance_density.py) ----
+
+def advected_density(density, mix, spec, domain, dt, grid_shape,
+                     chunk: int = 262144):
+    """One semi-Lagrangian step: RK4-backtrace every grid node through the
+    velocity field, clamp, and trilinearly sample the old density
+    (reference 3D/advance_density.py:52-59)."""
+    xn, yn, zn = grid_shape
+    pts = grid_points_3d(*domain, xn, yn, zn)
+    lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
+    hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
+
+    @jax.jit
+    def step_chunk(xc, dens):
+        bk = rk4_advect(mix, spec, xc, -dt)
+        bk = jnp.clip(bk, lo, hi)
+        return interp.trilinear_interp(dens, bk, domain)
+
+    out = np.empty((pts.shape[0],), np.float32)
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+    for i in range(0, n + pad, chunk):
+        out_c = step_chunk(jnp.asarray(pts_p[i:i + chunk]), density)
+        out[i:min(i + chunk, n)] = np.asarray(out_c)[: max(0, min(chunk,
+                                                                  n - i))]
+    return jnp.asarray(out.reshape(xn, yn, zn))
+
+
+def advance_density(init_cond: str, out_dir: str, dt: float,
+                    res_multiplier: int = 4, verbose: int = 1):
+    """Replay loop: seed ring densities, then per saved frame advect and
+    write .vti volumes (reference 3D/advance_density.py:87-120). Only
+    ring_collide seeding is implemented, as in the reference."""
+    scene = get_scene_3d(init_cond)
+    domain = scene.domain
+    xn, yn, zn = (r * res_multiplier for r in scene.visualize_res)
+    if init_cond != "ring_collide":
+        raise NotImplementedError(
+            "density seeding only implemented for ring_collide "
+            "(as in the reference)")
+    r1, r2 = scene.info["ring1"], scene.info["ring2"]
+    d1 = interp.seed_ring_density((xn, yn, zn), domain, r1.center,
+                                  r1.normal, r1.radius, r1.thickness)
+    d2 = interp.seed_ring_density((xn, yn, zn), domain, r2.center,
+                                  r2.normal, r2.radius, r2.thickness)
+    spacing = tuple((domain[2 * i + 1] - domain[2 * i]) / s
+                    for i, s in enumerate((xn, yn, zn)))
+    origin = (domain[0], domain[2], domain[4])
+    frame = 0
+    vti.write_vti_array(np.asarray(d1), origin, spacing,
+                        os.path.join(out_dir, f"density_a_{frame}.vti"))
+    vti.write_vti_array(np.asarray(d2), origin, spacing,
+                        os.path.join(out_dir, f"density_b_{frame}.vti"))
+    while True:
+        path = os.path.join(out_dir, f"gaussian_velocity_{frame}.pt")
+        if not os.path.exists(path):
+            break
+        mix, spec = checkpoint.load_checkpoint(path)
+        frame += 1
+        d1 = advected_density(d1, mix, spec, domain, dt, (xn, yn, zn))
+        d2 = advected_density(d2, mix, spec, domain, dt, (xn, yn, zn))
+        vti.write_vti_array(np.asarray(d1), origin, spacing,
+                            os.path.join(out_dir, f"density_a_{frame}.vti"))
+        vti.write_vti_array(np.asarray(d2), origin, spacing,
+                            os.path.join(out_dir, f"density_b_{frame}.vti"))
+        if verbose:
+            print(f"Frame {frame} finished.")

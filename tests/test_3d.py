@@ -1,0 +1,109 @@
+"""3D pipeline: quaternion field math, vti round-trip, interpolation,
+advection, and a tiny end-to-end leapfrog frame."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_fluids_tpu import FieldSpec, GaussianMixture
+from gaussian_fluids_tpu.io import vti
+from gaussian_fluids_tpu.ops import field, interp
+from gaussian_fluids_tpu.ops.advect import rk4_advect
+from gaussian_fluids_tpu.solver import losses
+
+
+def test_vti_roundtrip(tmp_path):
+    v = np.random.RandomState(0).rand(5, 6, 7).astype(np.float32)
+    path = str(tmp_path / "t.vti")
+    vti.write_vti_array(v, (0, 0, 0), (0.1, 0.1, 0.1), path)
+    back = vti.read_vti_array(path)
+    np.testing.assert_allclose(back, v)
+
+
+def test_trilinear_interp_exact_on_linear_field():
+    # a linear field is reproduced exactly by trilinear interpolation
+    domain = (0.0, 1.0, 0.0, 2.0, 0.0, 1.0)
+    xs = np.linspace(0, 1, 9)
+    ys = np.linspace(0, 2, 11)
+    zs = np.linspace(0, 1, 5)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    f = jnp.asarray(2.0 * X - 0.5 * Y + 3.0 * Z, jnp.float32)
+    rng = np.random.RandomState(1)
+    p = jnp.asarray(rng.uniform((0, 0, 0), (1, 2, 1), (64, 3)), jnp.float32)
+    out = interp.trilinear_interp(f, p, domain)
+    expect = 2.0 * p[:, 0] - 0.5 * p[:, 1] + 3.0 * p[:, 2]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seed_ring_density():
+    domain = (0.0, 1.0, 0.0, 1.0, 0.0, 1.0)
+    d = interp.seed_ring_density((32, 32, 32), domain, (0.5, 0.5, 0.5),
+                                 (1.0, 0.0, 0.0), 0.25, 0.06)
+    d = np.asarray(d)
+    assert d.sum() > 0
+    # ring is in the x=0.5 plane: slices far from it are empty
+    assert d[2].sum() == 0 and d[-3].sum() == 0
+    # centre of the ring (on-axis) is empty
+    assert d[16, 16, 16] == 0
+
+
+def _uniform_flow_mix():
+    """A mixture approximating a uniform flow u=(1,0) inside the domain."""
+    spec = FieldSpec.create((-5, -5), (5, 5), 25, d=2, vdim=2,
+                            clamp_threshold=1e-6)
+    xs = np.linspace(-5, 5, 5)
+    pos = np.stack(np.meshgrid(xs, xs, indexing="xy"), -1).reshape(-1, 2)
+    mix = GaussianMixture.create(pos, spec)
+    return mix, spec
+
+
+def test_rk4_advect_constant_field():
+    # analytically: with a (nearly) constant velocity c the RK4 step is
+    # exactly x + dt*c
+    spec = FieldSpec.create((-50, -50), (50, 50), 1, d=2, vdim=2,
+                            min_grid_scale=200.0)
+    mix = GaussianMixture(
+        jnp.zeros((1, 2)),
+        jnp.full((1, 2), -6.0),  # huge gaussian => constant in the region
+        jnp.zeros((1,)), jnp.asarray([[2.0, -1.0]]), jnp.ones((1,), bool))
+    x = jnp.asarray([[0.1, 0.2], [1.0, -1.0]], jnp.float32)
+    g0 = float(jnp.exp(-0.5 * jnp.sum(x[1] ** 2) * np.exp(-12.0)))
+    c = (g0 - spec.clamp_threshold) * jnp.asarray([2.0, -1.0])
+    phi = rk4_advect(mix, spec, x, 0.01)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(x + 0.01 * c),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rk4_deformation_identity_at_dt0():
+    mix, spec = _uniform_flow_mix()
+    x = jnp.asarray(np.random.RandomState(0).uniform(-3, 3, (7, 2)),
+                    jnp.float32)
+    phi, dphi, v, dv = rk4_advect(mix, spec, x, 0.0, with_deformation=True)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dphi), np.broadcast_to(np.eye(2), (7, 2, 2)), atol=1e-6)
+
+
+def test_curl3d_helicity_shapes_and_values():
+    jac = jnp.asarray(np.random.RandomState(0).randn(4, 3, 3), jnp.float32)
+    c = losses.curl3d(jac)
+    assert c.shape == (4, 3)
+    np.testing.assert_allclose(
+        np.asarray(c[:, 2]), np.asarray(jac[:, 1, 0] - jac[:, 0, 1]))
+
+
+@pytest.mark.slow
+def test_e2e_3d_tiny(tmp_path):
+    from gaussian_fluids_tpu.solver.simulate3d import (advance_3d,
+                                                       initialize_3d)
+    out = str(tmp_path)
+    initialize_3d("leapfrog", out, max_epoch=100, batch_size=512,
+                  viz=False, particle_count=(5, 5, 5), verbose=0)
+    assert os.path.exists(os.path.join(out, "gaussian_velocity_0.pt"))
+    advance_3d("leapfrog", out, dt=0.1, last_time=0.1, max_epoch=100,
+               batch_size=512, viz=False, test_res=(8, 8, 8), verbose=0)
+    assert os.path.exists(os.path.join(out, "gaussian_velocity_1.pt"))
