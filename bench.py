@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Headline benchmark: Leapfrog-2D projection throughput (BASELINE.md
+north-star workload: N = 71x71 = 5041 Gaussians, batch 512, the full
+per-epoch projection step — RK4 covector backtrace, shared forward + two
+VJP heads, PCGrad, boundary flux loss, 4-group Adam + plateau).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": epochs/s, "unit": "epochs/s", "vs_baseline": r}
+
+Baseline note: the reference (PyTorch + Taichi CUDA) cannot run in this
+image (no taichi, no GPU — BASELINE.md says published numbers are absent
+anyway). ``vs_baseline`` therefore compares against a *conservative
+surrogate*: the reference's dense autograd epoch (its own oracle path,
+reference 2D/GSR.py:110-147) implemented in torch on this host's CPU, with
+the RK4 backtrace and boundary terms OMITTED from the baseline's cost
+(undercounting the baseline makes the ratio conservative). The surrogate
+measurement is cached in BENCH_BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_SIDE = 71
+BATCH = 512
+EPOCHS_TIMED = 1000
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_BASELINE.json")
+
+
+def build_state():
+    import jax
+    import jax.numpy as jnp
+    from gaussian_fluids_tpu import FieldSpec, GaussianMixture
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver import optim
+    from gaussian_fluids_tpu.solver.project import (ProjectWeights,
+                                                    _runner_2d)
+
+    scene = get_scene_2d("leapfrog")
+    sf = scene.scaling_factor
+    xs = np.linspace(-5 * sf, 5 * sf, N_SIDE, dtype=np.float32)
+    pos = np.stack(np.meshgrid(xs, xs, indexing="xy"), -1).reshape(-1, 2)
+    spec = FieldSpec.create((-5 * sf, -5 * sf), (5 * sf, 5 * sf),
+                            pos.shape[0], d=2, vdim=2)
+    rng = np.random.RandomState(0)
+    mix = GaussianMixture.create(pos, spec)
+    params = mix.params()
+    params["values"] = jnp.asarray(
+        0.1 * rng.randn(*params["values"].shape).astype(np.float32))
+    mix = mix.with_params(params)
+
+    run_chunk, _ = _runner_2d(spec, "leapfrog", ProjectWeights(),
+                              1.0, BATCH)
+    opt_state = optim.init(params, {k: 1e-4 for k in params}, patience=50)
+    adv = jnp.asarray(scene.advance_domain, jnp.float32)
+    dt = jnp.asarray(0.025, jnp.float32)
+    carry = (params, opt_state, mix.alive,
+             jax.lax.stop_gradient(mix.positions), mix.params(), mix.alive,
+             adv, dt)
+    return run_chunk, carry, mix.capacity
+
+
+def measure_ours():
+    import jax
+    run_chunk, carry, capacity = build_state()
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    carry, _ = run_chunk(carry, key, 100)
+    jax.block_until_ready(carry[0]["positions"])
+    t0 = time.perf_counter()
+    for i in range(EPOCHS_TIMED // 100):
+        key, sub = jax.random.split(key)
+        carry, _ = run_chunk(carry, sub, 100)
+    jax.block_until_ready(carry[0]["positions"])
+    dt = time.perf_counter() - t0
+    eps = EPOCHS_TIMED / dt
+    # each epoch: 5 RK4 field evals (val+jac) + fwd/bwd heads + boundary
+    evals = EPOCHS_TIMED * BATCH * capacity * 8
+    return eps, evals / dt
+
+
+def measure_baseline_surrogate():
+    """Reference dense-autograd epoch (torch CPU), conservative subset."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as fd:
+            return json.load(fd)["baseline_epochs_per_sec"]
+    import torch
+    torch.manual_seed(0)
+    n = N_SIDE * N_SIDE
+    positions = torch.randn(n, 2, requires_grad=True)
+    scalings = torch.zeros(n, 2, requires_grad=True)
+    rotations = torch.zeros(n, requires_grad=True)
+    values = (0.1 * torch.randn(n, 2)).requires_grad_()
+    opts = [torch.optim.Adam([p], lr=1e-4)
+            for p in (positions, scalings, rotations, values)]
+
+    def epoch():
+        x = torch.rand(BATCH, 2) * 10 - 5
+        S = torch.diag_embed(torch.exp(scalings))
+        c, s = torch.cos(rotations), torch.sin(rotations)
+        R = torch.stack([torch.stack([c, -s], -1),
+                         torch.stack([s, c], -1)], -2)
+        A = R @ S
+        prec = A @ A.transpose(-1, -2)
+        delta = x[:, None, :] - positions[None, :, :]
+        quad = torch.einsum("bni,nij,bnj->bn", delta, prec, delta)
+        g = torch.exp(-0.5 * quad)
+        grad_g = -g[..., None] * torch.einsum("nij,bnj->bni", prec, delta)
+        jac = torch.einsum("bn,nd->bd", g, values)  # value
+        jacf = torch.einsum("nd,bnk->bdk", values, grad_g)
+        loss = (jacf[:, 1, 0] - jacf[:, 0, 1]).abs().mean() \
+            + ((jacf[:, 0, 0] + jacf[:, 1, 1]) ** 2).mean() \
+            + jac.abs().mean() * 0
+        for o in opts:
+            o.zero_grad()
+        loss.backward()
+        for o in opts:
+            o.step()
+
+    epoch()  # warmup
+    t0 = time.perf_counter()
+    n_ep = 5
+    for _ in range(n_ep):
+        epoch()
+    rate = n_ep / (time.perf_counter() - t0)
+    with open(CACHE, "w") as fd:
+        json.dump({"baseline_epochs_per_sec": rate,
+                   "note": "reference dense-autograd epoch, torch CPU "
+                           "surrogate (taichi/CUDA unavailable); RK4 + "
+                           "boundary costs omitted (conservative)"}, fd)
+    return rate
+
+
+def main():
+    ours_eps, gevals = measure_ours()
+    base_eps = measure_baseline_surrogate()
+    out = {
+        "metric": "leapfrog2d_projection_epochs_per_sec",
+        "value": round(ours_eps, 2),
+        "unit": "epochs/s",
+        "vs_baseline": round(ours_eps / base_eps, 2),
+    }
+    print(json.dumps(out))
+    print(f"# gaussian-evals/sec ~ {gevals:.3e}; baseline surrogate "
+          f"{base_eps:.2f} epochs/s (see bench.py docstring)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
