@@ -50,3 +50,16 @@ def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     dphi = eye + dt / 6.0 * (dv + 2.0 * dv1x + 2.0 * dv2x + mm(dv3, dphi3))
     v_phi, dv_phi = f(phi)
     return phi, dphi, v_phi, dv_phi
+
+
+def rk4_advect_culled(mix, spec, x, dt, grid):
+    """Position-only RK4 through the culled backend — for huge query sets
+    (the 512^3 density backtrace, reference 3D/advance_density.py:52-59)
+    where the dense (B, N) sweep would be prohibitive."""
+    from gaussian_fluids_tpu.ops import grid as grid_ops
+    f = lambda p: grid_ops.value_culled(mix, spec, p, grid)
+    v = f(x)
+    v1 = f(x + dt * 0.5 * v)
+    v2 = f(x + dt * 0.5 * v1)
+    v3 = f(x + dt * v2)
+    return x + dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)

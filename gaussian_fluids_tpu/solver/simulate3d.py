@@ -14,7 +14,6 @@ import numpy as np
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 from gaussian_fluids_tpu.ops import field, interp
-from gaussian_fluids_tpu.ops.advect import rk4_advect
 from gaussian_fluids_tpu.io import checkpoint, vti
 from gaussian_fluids_tpu.scenes import get_scene_3d
 from gaussian_fluids_tpu.solver import losses
@@ -155,15 +154,20 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
                      chunk: int = 262144):
     """One semi-Lagrangian step: RK4-backtrace every grid node through the
     velocity field, clamp, and trilinearly sample the old density
-    (reference 3D/advance_density.py:52-59)."""
+    (reference 3D/advance_density.py:52-59). Uses the culled (uniform-grid)
+    backend: at 512^3 query points a dense (B, N) sweep is prohibitive."""
+    from gaussian_fluids_tpu.ops import grid as grid_ops
+    from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
     xn, yn, zn = grid_shape
     pts = grid_points_3d(*domain, xn, yn, zn)
     lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
     hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
+    capacity = grid_ops.suggest_capacity(mix, spec)
+    cell_grid = grid_ops.build_grid(mix, spec, capacity)
 
     @jax.jit
     def step_chunk(xc, dens):
-        bk = rk4_advect(mix, spec, xc, -dt)
+        bk = rk4_advect_culled(mix, spec, xc, -dt, cell_grid)
         bk = jnp.clip(bk, lo, hi)
         return interp.trilinear_interp(dens, bk, domain)
 
@@ -179,13 +183,17 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
 
 
 def advance_density(init_cond: str, out_dir: str, dt: float,
-                    res_multiplier: int = 4, verbose: int = 1):
+                    res_multiplier: int = 4, grid_res=None,
+                    verbose: int = 1):
     """Replay loop: seed ring densities, then per saved frame advect and
     write .vti volumes (reference 3D/advance_density.py:87-120). Only
-    ring_collide seeding is implemented, as in the reference."""
+    ring_collide seeding is implemented, as in the reference. The default
+    grid is visualize_res * 4 = 512^3 (reference 3D/advance_density.py:3-7);
+    ``grid_res`` overrides it for smoke tests."""
     scene = get_scene_3d(init_cond)
     domain = scene.domain
-    xn, yn, zn = (r * res_multiplier for r in scene.visualize_res)
+    xn, yn, zn = grid_res or tuple(r * res_multiplier
+                                   for r in scene.visualize_res)
     if init_cond != "ring_collide":
         raise NotImplementedError(
             "density seeding only implemented for ring_collide "

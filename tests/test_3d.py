@@ -96,6 +96,30 @@ def test_curl3d_helicity_shapes_and_values():
         np.asarray(c[:, 2]), np.asarray(jac[:, 1, 0] - jac[:, 0, 1]))
 
 
+def test_density_pipeline_tiny(tmp_path):
+    """Smoke pipeline on a tiny grid: seed, save a checkpoint, replay."""
+    from gaussian_fluids_tpu.io import checkpoint
+    from gaussian_fluids_tpu.solver.simulate3d import advance_density
+    spec = FieldSpec.create((0, 0, 0), (1, 1, 1), 27, d=3, vdim=3)
+    pos = np.stack(np.meshgrid(*([np.linspace(0.2, 0.8, 3)] * 3),
+                               indexing="ij"), -1).reshape(-1, 3)
+    mix = GaussianMixture.create(pos, spec)
+    mix = GaussianMixture(mix.positions, mix.scalings, mix.rotations,
+                          mix.values.at[:, 0].set(
+                              0.05 * np.asarray(mix.alive)), mix.alive)
+    out = str(tmp_path)
+    checkpoint.save_checkpoint(
+        os.path.join(out, "gaussian_velocity_0.pt"), mix, spec)
+    advance_density("ring_collide", out, dt=0.02, grid_res=(48, 48, 48),
+                    verbose=0)
+    import glob
+    written = sorted(glob.glob(os.path.join(out, "density_*.vti")))
+    assert len(written) == 4  # a/b at frames 0 and 1
+    d1 = vti.read_vti_array(os.path.join(out, "density_a_1.vti"))
+    assert np.isfinite(d1).all() and d1.max() <= 1.0 + 1e-5
+    assert d1.sum() > 0  # the ring moved but did not vanish
+
+
 @pytest.mark.slow
 def test_e2e_3d_tiny(tmp_path):
     from gaussian_fluids_tpu.solver.simulate3d import (advance_3d,
