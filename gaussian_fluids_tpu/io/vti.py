@@ -17,8 +17,13 @@ import numpy as np
 
 def write_vti_array(V: np.ndarray, origin, spacing, save_filename: str,
                     name: str = "scalars") -> None:
-    """V: (nx, ny, nz) scalar volume."""
+    """V: (nx, ny, nz) scalar volume. Uses the native C++ writer (appended
+    raw encoding — fastest for the 512^3 smoke volumes) when available,
+    else the pure-Python inline-base64 path."""
+    from gaussian_fluids_tpu.utils import native
     V = np.ascontiguousarray(np.asarray(V, np.float32))
+    if native.vti_write_f32(save_filename, V, origin, spacing, name):
+        return
     nx, ny, nz = V.shape
     raw = V.ravel(order="F").tobytes()
     payload = base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
@@ -46,16 +51,22 @@ def write_vti_array(V: np.ndarray, origin, spacing, save_filename: str,
 
 
 def read_vti_array(path: str) -> np.ndarray:
-    """Minimal reader for round-trip tests of files we wrote."""
+    """Minimal reader for round-trip tests of files we wrote (both the
+    inline-base64 and the native appended-raw encodings)."""
     import re
-    with open(path) as fd:
-        text = fd.read()
+    with open(path, "rb") as fd:
+        blob = fd.read()
+    text = blob.decode("latin-1")
     extent = [int(t) for t in
               re.search(r'WholeExtent="([^"]+)"', text).group(1).split()]
     nx, ny, nz = extent[1] + 1, extent[3] + 1, extent[5] + 1
-    payload = re.search(r'format="binary">\s*([A-Za-z0-9+/=]+)\s*<',
-                        text).group(1)
-    raw = base64.b64decode(payload)
+    m = re.search(r'format="binary">\s*([A-Za-z0-9+/=]+)\s*<', text)
+    if m:
+        raw = base64.b64decode(m.group(1))
+    else:
+        start = blob.index(b'encoding="raw">')
+        start = blob.index(b"_", start) + 1
+        raw = blob[start:]
     (nbytes,) = struct.unpack("<I", raw[:4])
     data = np.frombuffer(raw[4:4 + nbytes], np.float32)
     return data.reshape((nx, ny, nz), order="F")

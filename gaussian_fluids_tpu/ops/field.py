@@ -161,6 +161,95 @@ def value_and_jac_chunked(mix: GaussianMixture, spec: FieldSpec,
             jacs.reshape(nchunk * chunk, mix.vdim, mix.d)[:b])
 
 
+# ---- cached host-side grid evaluation ----
+#
+# On this image's tunneled TPU runtime, *lowering* a program costs tens of
+# seconds; fresh closures (new lax.map lambdas per frame) would re-lower
+# every frame. These evaluators are cached per spec and take all data as
+# runtime arguments, so visualization/test sweeps lower exactly once.
+
+@functools.lru_cache(maxsize=None)
+def _cached_chunk_eval(spec: FieldSpec):
+    @jax.jit
+    def f(params, alive, x):
+        mix = GaussianMixture(params["positions"], params["scalings"],
+                              params["rotations"], params["values"], alive)
+        return value_and_jac(mix, spec, x)
+    return f
+
+
+def eval_on_grid(mix: GaussianMixture, spec: FieldSpec, pts,
+                 chunk: int = 4096):
+    """(val, jac) on arbitrarily many points, evaluated in fixed-shape
+    jitted chunks (host loop). For viz/test sweeps outside jit."""
+    import numpy as np
+    f = _cached_chunk_eval(spec)
+    pts = np.asarray(pts, np.float32)
+    b = pts.shape[0]
+    pad = (-b) % chunk
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, spec.d), np.float32)])
+    vals = np.empty((b + pad, mix.vdim), np.float32)
+    jacs = np.empty((b + pad, mix.vdim, spec.d), np.float32)
+    params = mix.params()
+    for i in range(0, b + pad, chunk):
+        v, j = f(params, mix.alive, jnp.asarray(pts[i:i + chunk]))
+        vals[i:i + chunk] = np.asarray(v)
+        jacs[i:i + chunk] = np.asarray(j)
+    return vals[:b], jacs[:b]
+
+
+# ---- fused Pallas path (TPU performance backend) ----
+
+def _pad_axis(a: jnp.ndarray, mult: int, axis: int = 0,
+              fill: float = 0.0) -> jnp.ndarray:
+    n = a.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths, constant_values=fill)
+
+
+def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
+                         x: jnp.ndarray, tb: int = 256,
+                         tn: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same semantics as ``value_and_jac`` via the fused Pallas kernel
+    (ops/pallas/gsr_kernel.py): the (B, N) kernel matrix never leaves VMEM.
+    Dead/out-of-domain Gaussians get +1e9 on their quad-form bias so g
+    underflows to exactly 0."""
+    from gaussian_fluids_tpu.ops.pallas.gsr_kernel import fused_gsr_matmul
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    d, vdim = mix.d, mix.vdim
+    b = x.shape[0]
+    W, P, pm = _quad_weights(mix)
+    dead = ~in_domain_mask(mix, spec)
+    W = W.at[:, -1].add(jnp.where(dead, 1e9, 0.0))
+    feat = _quad_features(x, d)
+
+    vP = jnp.einsum("na,nkj->nakj", mix.values, P).reshape(-1, vdim * d * d)
+    vpm = jnp.einsum("na,nk->nak", mix.values, pm).reshape(-1, vdim * d)
+    rhs = jnp.concatenate([mix.values, vP, vpm], axis=-1)
+
+    feat_p = _pad_axis(feat, tb, axis=0)
+    bp = feat_p.shape[0]
+    # N is already bucket-padded to a multiple of 512 >= tn? pad anyway.
+    W_p = _pad_axis(W, tn, axis=0)
+    W_p = W_p.at[mix.capacity:, -1].set(1e9)  # padded rows never fire
+    rhs_p = _pad_axis(rhs, tn, axis=0)
+
+    out = fused_gsr_matmul(feat_p, W_p, rhs_p, vdim,
+                           float(spec.clamp_threshold), tb, tn)[:b]
+    val = out[:, :vdim]
+    t1 = out[:, vdim:vdim + vdim * d * d].reshape(b, vdim, d, d)
+    t2 = out[:, vdim + vdim * d * d:].reshape(b, vdim, d)
+    jac = -(jnp.einsum("bakj,bj->bak", t1, x) - t2)
+    return val, jac
+
+
 # ---- dense reference (oracle) path, no clamp subtraction ----
 
 def value_dense_oracle(mix: GaussianMixture, spec: FieldSpec,

@@ -23,27 +23,38 @@ class MeshSampler:
                       np.asarray(translate, np.float32))
 
     def load_obj(self, obj_file, scale, rotate, translate):
-        vertices, normals, faces, facenormals = [], [], [], []
-        with open(obj_file) as fd:
-            for line in fd:
-                if line.startswith("v "):
-                    vertices.append([float(t) for t in line.split()[1:4]])
-                elif line.startswith("vn "):
-                    normals.append([float(t) for t in line.split()[1:4]])
-                elif line.startswith("f "):
-                    toks = line.split()[1:4]
-                    faces.append([int(t.split("/")[0]) - 1 for t in toks])
-                    facenormals.append(
-                        [int(t.split("/")[-1]) - 1 for t in toks])
+        from gaussian_fluids_tpu.utils import native
+        parsed = native.parse_obj(obj_file)
+        if parsed is not None:
+            v, n_arr, f_arr, fn_arr = parsed
+            vertices = v
+            normals = list(n_arr)
+            self.faces = f_arr
+            self.facenormals = fn_arr
+        else:  # pure-Python fallback
+            vertices, normals, faces, facenormals = [], [], [], []
+            with open(obj_file) as fd:
+                for line in fd:
+                    if line.startswith("v "):
+                        vertices.append(
+                            [float(t) for t in line.split()[1:4]])
+                    elif line.startswith("vn "):
+                        normals.append([float(t) for t in line.split()[1:4]])
+                    elif line.startswith("f "):
+                        toks = line.split()[1:4]
+                        faces.append(
+                            [int(t.split("/")[0]) - 1 for t in toks])
+                        facenormals.append(
+                            [int(t.split("/")[-1]) - 1 for t in toks])
+            self.faces = np.asarray(faces, np.int32)
+            self.facenormals = np.asarray(facenormals, np.int32)
         v = np.asarray(vertices, np.float32)
         self.vertices = (scale * v) @ rotate.T + translate
-        if normals:
+        if len(normals):
             n = np.asarray(normals, np.float32) @ rotate.T
             self.normals = n / np.linalg.norm(n, axis=-1, keepdims=True)
         else:
             self.normals = np.zeros((0, 3), np.float32)
-        self.faces = np.asarray(faces, np.int32)
-        self.facenormals = np.asarray(facenormals, np.int32)
 
         a = self.vertices[self.faces[:, 0]]
         b = self.vertices[self.faces[:, 1]]

@@ -327,8 +327,11 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
                lrs: Optional[Dict[str, float]] = None,
                batch_size: int = 8192, max_epoch: int = 3000,
                patience: int = 500, check_iter: int = 100,
-               verbose: int = 1) -> GaussianMixture:
-    """3D projection (reference 3D/advance.py:182-331)."""
+               verbose: int = 1, collect_curves: bool = False):
+    """3D projection (reference 3D/advance.py:182-331). With
+    ``collect_curves`` also returns the per-epoch train losses, log-lr and
+    test-loss curves for the reference's loss_{frame}.png plots
+    (3D/advance.py:273-331)."""
     if lrs is None:
         # reference 3D/advance.py:258-261
         lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
@@ -354,14 +357,25 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
 
     pat_vor, pat_hel, pat_div = (_Patience(1e-3), _Patience(1e-3),
                                  _Patience(1e-3))
+    curves = {"train_vor": [], "train_div": [], "log_lr": [],
+              "test_vor": [], "test_div": []}
     st = time.time()
     done = 0
     while done < max_epoch:
         n = min(check_iter, max_epoch - done)
         key, sub = jax.random.split(key)
-        carry, _ = run_chunk(carry, sub, n)
+        carry, aux = run_chunk(carry, sub, n)
         done += n
+        if collect_curves:
+            aux_np = np.asarray(jax.device_get(aux))
+            curves["train_vor"].extend(aux_np[:, 0].tolist())
+            curves["train_div"].extend(aux_np[:, 1].tolist())
+            lr = float(carry[1].groups["scalings"].lr)
+            curves["log_lr"].extend([np.log(lr)] * n)
         lv, lh, ld, ldm = metrics(carry)
+        if collect_curves:
+            curves["test_vor"].append(float(lv))
+            curves["test_div"].append(float(ld))
         if verbose:
             print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, "
                   f"loss_div: {ld}, loss_div_max: {ldm}, "
@@ -378,4 +392,5 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
         print("[projection] Total epoch:", max_epoch,
               "(Reached maximum iteration number)")
 
-    return mix.with_params(carry[0])
+    result = mix.with_params(carry[0])
+    return (result, curves) if collect_curves else result

@@ -7,6 +7,7 @@ frame loop clone -> advect -> project -> save (2D/advance.py:304-365).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -29,6 +30,14 @@ from gaussian_fluids_tpu.utils.grids import grid_points_2d
 LR_RATIO = 1.201956  # reference 2D/initialize.py:118,163
 
 
+@functools.lru_cache(maxsize=None)
+def _scene_eval(scene_name: str):
+    """Jitted analytic-field evaluators (value, jac) for viz sweeps —
+    eager dispatch is prohibitively slow on the tunneled TPU runtime."""
+    scene = get_scene_2d(scene_name)
+    return jax.jit(scene.velocity), jax.jit(scene.velocity_jac)
+
+
 def _viz_frame(out_dir, tag, mix, spec, scene, with_refs=False):
     """The reference's four per-frame PNGs (2D/advance.py:347-350)."""
     from gaussian_fluids_tpu.io import viz2d
@@ -38,21 +47,18 @@ def _viz_frame(out_dir, tag, mix, spec, scene, with_refs=False):
     xnv, ynv = scene.visualize_res
 
     def gauss_vel(x):
-        return np.asarray(field.value_and_jac_chunked(
-            mix, spec, jnp.asarray(x, jnp.float32))[0])
+        return field.eval_on_grid(mix, spec, x)[0]
 
     def orig_vel(x):
         return gauss_vel(np.asarray(x) * sf) / sf
 
     def orig_vor(x):
-        _, j = field.value_and_jac_chunked(mix, spec,
-                                           jnp.asarray(x * sf, jnp.float32))
-        return np.asarray(losses.curl2d(j))
+        j = field.eval_on_grid(mix, spec, np.asarray(x) * sf)[1]
+        return j[:, 1, 0] - j[:, 0, 1]
 
     def orig_div(x):
-        _, j = field.value_and_jac_chunked(mix, spec,
-                                           jnp.asarray(x * sf, jnp.float32))
-        return np.asarray(losses.divergence(j))
+        j = field.eval_on_grid(mix, spec, np.asarray(x) * sf)[1]
+        return j[:, 0, 0] + j[:, 1, 1]
 
     viz2d.show_field(gauss_vel, x0i * sf, x1i * sf, y0i * sf, y1i * sf,
                      dim=2, x_n=30, y_n=30,
@@ -89,16 +95,16 @@ def initialize_2d(init_cond: str, out_dir: str, max_epoch: int = 10000,
     if viz:
         from gaussian_fluids_tpu.io import viz2d
         xnv, ynv = scene.visualize_res
-        viz2d.show_field(lambda x: np.asarray(scene.velocity(
-            jnp.asarray(x))), x0, x1, y0, y1, dim=2, x_n=30, y_n=30,
-            save_filename=os.path.join(out_dir, "refvelocity.png"))
+        vel_fn, jac_fn = _scene_eval(init_cond)
+        viz2d.show_field(lambda x: np.asarray(vel_fn(jnp.asarray(x))),
+                         x0, x1, y0, y1, dim=2, x_n=30, y_n=30,
+                         save_filename=os.path.join(out_dir,
+                                                    "refvelocity.png"))
         viz2d.show_field(lambda x: np.asarray(losses.curl2d(
-            scene.velocity_jac(jnp.asarray(x)))), x0, x1, y0, y1,
-            x_n=xnv, y_n=ynv,
+            jac_fn(jnp.asarray(x)))), x0, x1, y0, y1, x_n=xnv, y_n=ynv,
             save_filename=os.path.join(out_dir, "refvorticity.png"))
         viz2d.show_field(lambda x: np.asarray(losses.divergence(
-            scene.velocity_jac(jnp.asarray(x)))), x0, x1, y0, y1,
-            x_n=xnv, y_n=ynv,
+            jac_fn(jnp.asarray(x)))), x0, x1, y0, y1, x_n=xnv, y_n=ynv,
             save_filename=os.path.join(out_dir, "refdivergence.png"))
 
     if init_cond == "karman":

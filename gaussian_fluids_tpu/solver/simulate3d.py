@@ -26,17 +26,17 @@ from gaussian_fluids_tpu.utils.grids import grid_points_3d
 
 def _vorticity_mag_fn(mix, spec):
     def f(x):
-        _, j = field.value_and_jac_chunked(mix, spec,
-                                           jnp.asarray(x, jnp.float32))
-        return np.asarray(jnp.linalg.norm(losses.curl3d(j), axis=-1))
+        j = field.eval_on_grid(mix, spec, x)[1]
+        curl = np.stack([j[:, 2, 1] - j[:, 1, 2], j[:, 0, 2] - j[:, 2, 0],
+                         j[:, 1, 0] - j[:, 0, 1]], -1)
+        return np.linalg.norm(curl, axis=-1)
     return f
 
 
 def _divergence_fn(mix, spec):
     def f(x):
-        _, j = field.value_and_jac_chunked(mix, spec,
-                                           jnp.asarray(x, jnp.float32))
-        return np.asarray(losses.divergence(j))
+        j = field.eval_on_grid(mix, spec, x)[1]
+        return j[:, 0, 0] + j[:, 1, 1] + j[:, 2, 2]
     return f
 
 
@@ -48,6 +48,27 @@ def _write_frame_vti(out_dir, tag, mix, spec, scene, viz_res=None):
     vti.write_vti_field(_divergence_fn(mix, spec), scene.domain,
                         os.path.join(out_dir, f"divergence_{tag}.vti"),
                         x_n=xn, y_n=yn, z_n=zn)
+
+
+def _plot_loss_curves(curves, path):
+    """Per-frame 2x2 loss-curve figure (reference 3D/advance.py:317-331):
+    train vor (+ log lr twin axis), train div, test vor, test div."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    _, axs = plt.subplots(2, 2, figsize=(12, 10))
+    axs[0, 0].plot(curves["train_vor"])
+    axs[0, 0].twinx().plot(curves["log_lr"], color="orange")
+    axs[0, 0].set_title("Vorticity training loss")
+    axs[0, 1].plot(curves["train_div"])
+    axs[0, 1].set_title("Divergence training loss")
+    axs[1, 0].plot(curves["test_vor"])
+    axs[1, 0].set_title("Vorticity test loss")
+    axs[1, 1].plot(curves["test_div"])
+    axs[1, 1].set_title("Divergence test loss")
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close("all")
 
 
 def initialize_3d(init_cond: str, out_dir: str, max_epoch: int = 500,
@@ -69,15 +90,18 @@ def initialize_3d(init_cond: str, out_dir: str, max_epoch: int = 500,
 
     if viz:
         vxn, vyn, vzn = viz_res or scene.visualize_res
+        # jitted: eager dispatch is prohibitively slow on the TPU tunnel
+        vel_j = jax.jit(scene.velocity)
+        jac_j = jax.jit(scene.velocity_jac)
         vel_mag = lambda x: np.asarray(jnp.linalg.norm(
-            scene.velocity(jnp.asarray(x)), axis=-1))
+            vel_j(jnp.asarray(x)), axis=-1))
         vor_mag = lambda x: np.asarray(jnp.linalg.norm(losses.curl3d(
-            scene.velocity_jac(jnp.asarray(x))), axis=-1))
+            jac_j(jnp.asarray(x))), axis=-1))
         div_ref = lambda x: np.asarray(losses.divergence(
-            scene.velocity_jac(jnp.asarray(x))))
+            jac_j(jnp.asarray(x))))
         hel_ref = lambda x: np.asarray(jnp.sum(
-            losses.curl3d(scene.velocity_jac(jnp.asarray(x)))
-            * scene.velocity(jnp.asarray(x)), axis=-1))
+            losses.curl3d(jac_j(jnp.asarray(x)))
+            * vel_j(jnp.asarray(x)), axis=-1))
         for name, fn in (("velocity_ref", vel_mag), ("vorticity_ref",
                                                      vor_mag),
                          ("divergence_ref", div_ref),
@@ -130,13 +154,16 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
             mix, spec, lo=lo, hi=hi, test_x=test_x, key=kc, seed=cnt, d=3,
             batch_size=batch_size, max_epoch=max_epoch, verbose=verbose)
         new_mix = advect_covector_field_3d(new_mix, mix, spec, dt)
-        new_mix = project_3d(
+        new_mix, curves = project_3d(
             new_mix, spec, mix, dt, domain=domain, test_x=test_x, key=kp,
             scene_name=init_cond,
             weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
                                    delta_pos=0.0, hel=1.0, val_reg=0.0),
             boundary_lambda=boundary_lambda, batch_size=batch_size,
-            max_epoch=max_epoch, verbose=verbose)
+            max_epoch=max_epoch, verbose=verbose, collect_curves=True)
+        if viz:
+            _plot_loss_curves(curves, os.path.join(out_dir,
+                                                   f"loss_{cnt}.png"))
         mix = new_mix
         print(f"Wrote frame {cnt}")
         if viz:

@@ -1,0 +1,44 @@
+"""Native C++ runtime components vs Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from gaussian_fluids_tpu.io import vti
+from gaussian_fluids_tpu.utils import native
+
+
+def test_native_builds():
+    lib = native.load()
+    assert lib is not None, "g++ build of native/gf_native.cpp failed"
+
+
+def test_native_vti_roundtrip(tmp_path):
+    v = np.random.RandomState(0).rand(6, 5, 4).astype(np.float32)
+    path = str(tmp_path / "n.vti")
+    ok = native.vti_write_f32(path, v, (0, 0, 0), (0.1, 0.2, 0.3))
+    assert ok
+    back = vti.read_vti_array(path)
+    np.testing.assert_allclose(back, v)
+
+
+def test_native_obj_parse_matches_python(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "vn 0 0 1\nvn 1 0 0\n"
+        "f 1//1 2//1 3//2\nf 1//2 3//1 4//2\n")
+    v, n, f, fn = native.parse_obj(str(obj))
+    assert v.shape == (4, 3) and n.shape == (2, 3)
+    np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])
+    np.testing.assert_array_equal(fn, [[0, 0, 1], [1, 0, 1]])
+
+
+def test_blue_noise_spreads_points():
+    pts = native.blue_noise_2d(64, seed=3, x_min=0, x_max=1, y_min=0,
+                               y_max=1)
+    assert pts.shape == (64, 2)
+    assert (pts >= 0).all() and (pts <= 1).all()
+    # blue noise: min pairwise distance far above random expectation
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    assert np.sqrt(d2.min()) > 0.03
