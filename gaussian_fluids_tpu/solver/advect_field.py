@@ -19,8 +19,16 @@ from gaussian_fluids_tpu.ops.advect import rk4_advect
 
 
 def advect_covector_field_2d(mix: GaussianMixture, spec: FieldSpec,
-                             dt: float) -> GaussianMixture:
-    new_pos = rk4_advect(mix, spec, mix.positions, dt)
+                             dt: float,
+                             advection_scheme: str = "rk4"
+                             ) -> GaussianMixture:
+    if advection_scheme == "rk1-backtrace":
+        from gaussian_fluids_tpu.ops import field
+        new_pos = mix.positions + dt * field.value(mix, spec, mix.positions)
+    elif advection_scheme == "rk4":
+        new_pos = rk4_advect(mix, spec, mix.positions, dt)
+    else:
+        raise NotImplementedError(advection_scheme)
     lo = np.asarray(spec.lo, np.float32)
     hi = np.asarray(spec.hi, np.float32)
     pos = np.asarray(new_pos)

@@ -34,6 +34,22 @@ def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
     return jnp.where(inside, vor, 0.0)
 
 
+def advected_vorticity_2d_rk1(vel_mix: GaussianMixture, spec: FieldSpec,
+                              x: jnp.ndarray, dt, adv_lo,
+                              adv_hi) -> jnp.ndarray:
+    """The reference's alternative 'rk1-backtrace' scheme (unused by
+    default, 2D/advance.py:34-44): single-step backtrace x - u(x) dt."""
+    from gaussian_fluids_tpu.ops import field
+    v, dv0 = field.value_and_jac(vel_mix, spec, x)
+    bk_x = x - v * dt
+    _, dv = field.value_and_jac(vel_mix, spec, bk_x)
+    vor = losses.curl2d(dv)
+    lo = jnp.asarray(adv_lo, jnp.float32)
+    hi = jnp.asarray(adv_hi, jnp.float32)
+    inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
+    return jnp.where(inside, vor, 0.0)
+
+
 def advected_vorticity_3d(vel_mix: GaussianMixture, spec: FieldSpec,
                           x: jnp.ndarray, dt):
     """(vor (B,3), hel (B,)) — reference 3D/advance.py:34-47."""

@@ -209,6 +209,43 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
     return jnp.asarray(out.reshape(xn, yn, zn))
 
 
+def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
+                       grid_shape, chunk: int = 262144):
+    """Multi-frame re-trace variant (reference 3D/advance_density.py:61-71,
+    unused by default): walk grid points back through all n saved velocity
+    checkpoints, then sample the INITIAL density once."""
+    from gaussian_fluids_tpu.ops import grid as grid_ops
+    from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
+    xn, yn, zn = grid_shape
+    pts = grid_points_3d(*spec_domain, xn, yn, zn)
+    lo = jnp.asarray([spec_domain[0], spec_domain[2], spec_domain[4]],
+                     jnp.float32)
+    hi = jnp.asarray([spec_domain[1], spec_domain[3], spec_domain[5]],
+                     jnp.float32)
+    x = np.asarray(pts)
+    for i in range(n_frames - 1, -1, -1):
+        mix, spec = checkpoint.load_checkpoint(
+            os.path.join(out_dir, f"gaussian_velocity_{i}.pt"))
+        capacity = grid_ops.suggest_capacity(mix, spec)
+        cell_grid = grid_ops.build_grid(mix, spec, capacity)
+
+        @jax.jit
+        def bt(xc):
+            return rk4_advect_culled(mix, spec, xc, -dt, cell_grid)
+
+        out = np.empty_like(x)
+        n = x.shape[0]
+        pad = (-n) % chunk
+        xp = np.concatenate([x, np.zeros((pad, 3), np.float32)])
+        for s in range(0, n + pad, chunk):
+            out_c = np.asarray(bt(jnp.asarray(xp[s:s + chunk])))
+            out[s:min(s + chunk, n)] = out_c[: max(0, min(chunk, n - s))]
+        x = out
+    x = np.clip(x, np.asarray(lo), np.asarray(hi))
+    sampled = interp.trilinear_interp(density0, jnp.asarray(x), spec_domain)
+    return sampled.reshape(xn, yn, zn)
+
+
 def advance_density(init_cond: str, out_dir: str, dt: float,
                     res_multiplier: int = 4, grid_res=None,
                     verbose: int = 1):
