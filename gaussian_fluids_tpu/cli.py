@@ -50,6 +50,33 @@ def parse_args_3d(argv=None, default_max_epoch=20000):
 
 
 def _apply_device(device: str):
+    import jax
+
     if device == "cpu":
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    _enable_persistent_compile_cache(jax)
+
+
+def _enable_persistent_compile_cache(jax):
+    """Persist compiled executables across processes.
+
+    The solver runs as separate ``initialize`` / ``advance`` processes (same
+    split as the reference's initialize.py / advance.py), and on TPU each
+    fresh process would otherwise re-pay every XLA compile (~20-40 s each on
+    this class of hardware). The cache makes resume (``--start_frame``) and
+    repeat runs start in seconds.
+    """
+    import os
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.environ.get(
+        "GF_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "gaussian_fluids_tpu", "jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never block the run on it
