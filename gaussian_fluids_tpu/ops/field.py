@@ -24,6 +24,7 @@ the reference's hand-derived scatter kernels, 2D/GSR.py:284-476).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -33,6 +34,26 @@ from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 
 _MM = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+# Hot-path backend selection: "auto" (fused Pallas kernel on TPU when the
+# (B, N) sweep is large enough to pay off, dense XLA otherwise), "dense", or
+# "pallas" via GF_FIELD_BACKEND. The Pallas path is bit-compatible in
+# masking semantics and measured 1.2-2.5x faster at karman/3D scales, but a
+# slight loss at leapfrog-2D scale where the dense sweep fits comfortably
+# (scripts/bench_backends.py); on CPU its interpret mode is slow, so "auto"
+# keeps the dense path there.
+_BACKEND_ENV = "GF_FIELD_BACKEND"
+_PALLAS_MIN_BN = 4_000_000  # B*N above which the fused kernel wins on TPU
+
+
+def _use_pallas(b: int, n: int) -> bool:
+    mode = os.environ.get(_BACKEND_ENV, "auto")
+    if mode == "dense":
+        return False
+    if mode == "pallas":
+        return True
+    return (jax.default_backend() in ("tpu", "axon")
+            and b * n >= _PALLAS_MIN_BN)
 
 
 def in_domain_mask(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
@@ -97,7 +118,15 @@ def masked_kernel(mix: GaussianMixture, spec: FieldSpec,
 
 def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     """u(x): (B, vdim). Fast-path semantics: sum of v_i (g_i - c) over the
-    support (reference 2D/GSR.py:279-281)."""
+    support (reference 2D/GSR.py:279-281). Dispatches to the fused Pallas
+    kernel on TPU (GF_FIELD_BACKEND overrides)."""
+    if _use_pallas(x.shape[0], mix.capacity):
+        return value_pallas(mix, spec, x)
+    return value_dense(mix, spec, x)
+
+
+def value_dense(mix: GaussianMixture, spec: FieldSpec,
+                x: jnp.ndarray) -> jnp.ndarray:
     mg, mask, _, _ = masked_kernel(mix, spec, x)
     mg_val = jnp.where(mask, mg - spec.clamp_threshold, 0.0)
     return _MM(mg_val, mix.values)
@@ -105,7 +134,16 @@ def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 
 def value_and_jac(mix: GaussianMixture, spec: FieldSpec,
                   x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(u(x), du/dx): shapes (B, vdim) and (B, vdim, d).
+    """(u(x), du/dx): shapes (B, vdim) and (B, vdim, d). Dispatches to the
+    fused Pallas kernel on TPU (GF_FIELD_BACKEND overrides)."""
+    if _use_pallas(x.shape[0], mix.capacity):
+        return value_and_jac_pallas(mix, spec, x)
+    return value_and_jac_dense(mix, spec, x)
+
+
+def value_and_jac_dense(mix: GaussianMixture, spec: FieldSpec,
+                        x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense XLA backend.
 
     jac[b,a,k] = -sum_n mg[b,n] v[n,a] (P[n] x[b] - pm[n])[k], evaluated as
     two (B, N) @ (N, *) matmuls to avoid any (B, N, d) temporary.
@@ -248,6 +286,35 @@ def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
     t2 = out[:, vdim + vdim * d * d:].reshape(b, vdim, d)
     jac = -(jnp.einsum("bakj,bj->bak", t1, x) - t2)
     return val, jac
+
+
+def value_pallas(mix: GaussianMixture, spec: FieldSpec,
+                 x: jnp.ndarray, tb: int = 256,
+                 tn: int = 512) -> jnp.ndarray:
+    """Value-only fused Pallas path: rhs carries just the velocity
+    coefficients (plus one zero column so the kernel's grad-weighted matmul
+    has nonzero width), so the big (B, N) contraction is vdim-wide instead
+    of the full Jacobian packing."""
+    from gaussian_fluids_tpu.ops.pallas.gsr_kernel import fused_gsr_matmul
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    vdim = mix.vdim
+    b = x.shape[0]
+    W, _, _ = _quad_weights(mix)
+    dead = ~in_domain_mask(mix, spec)
+    W = W.at[:, -1].add(jnp.where(dead, 1e9, 0.0))
+    feat = _quad_features(x, mix.d)
+
+    rhs = jnp.concatenate(
+        [mix.values, jnp.zeros((mix.capacity, 1), mix.values.dtype)], axis=-1)
+    feat_p = _pad_axis(feat, tb, axis=0)
+    W_p = _pad_axis(W, tn, axis=0)
+    W_p = W_p.at[mix.capacity:, -1].set(1e9)
+    rhs_p = _pad_axis(rhs, tn, axis=0)
+    out = fused_gsr_matmul(feat_p, W_p, rhs_p, vdim,
+                           float(spec.clamp_threshold), tb, tn)[:b]
+    return out[:, :vdim]
 
 
 # ---- dense reference (oracle) path, no clamp subtraction ----

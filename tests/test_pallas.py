@@ -71,3 +71,28 @@ def test_pallas_padding_and_dead_gaussians():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_p), np.asarray(j_d),
                                rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_pallas_value_only_matches_dense(d):
+    mix, spec = _mix(90, d, seed=11)
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.uniform(-5, 5, (70, d)), jnp.float32)
+    v_d = field.value_dense(mix, spec, x)
+    v_p = field.value_pallas(mix, spec, x, tb=64, tn=256)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_backend_dispatch_env(monkeypatch):
+    mix, spec = _mix(40, 2, seed=1)
+    x = jnp.asarray(np.random.RandomState(2).uniform(-4, 4, (16, 2)),
+                    jnp.float32)
+    monkeypatch.setenv("GF_FIELD_BACKEND", "pallas")
+    v_p, j_p = field.value_and_jac(mix, spec, x)
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    v_d, j_d = field.value_and_jac(mix, spec, x)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_p), np.asarray(j_d),
+                               rtol=1e-3, atol=1e-5)
