@@ -250,8 +250,14 @@ def _pad_axis(a: jnp.ndarray, mult: int, axis: int = 0,
     return jnp.pad(a, widths, constant_values=fill)
 
 
+def _auto_tb(b: int) -> int:
+    # measured on v5e (scripts/bench_tiles.py): big batches favour tall
+    # query tiles; small batches must not pad up.
+    return 1024 if b >= 4096 else 256
+
+
 def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
-                         x: jnp.ndarray, tb: int = 256,
+                         x: jnp.ndarray, tb: int = 0,
                          tn: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same semantics as ``value_and_jac`` via the fused Pallas kernel
     (ops/pallas/gsr_kernel.py): the (B, N) kernel matrix never leaves VMEM.
@@ -263,6 +269,7 @@ def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
             f"query points must have shape (B, {mix.d}); got {x.shape}")
     d, vdim = mix.d, mix.vdim
     b = x.shape[0]
+    tb = tb or _auto_tb(b)
     W, P, pm = _quad_weights(mix)
     dead = ~in_domain_mask(mix, spec)
     W = W.at[:, -1].add(jnp.where(dead, 1e9, 0.0))
@@ -289,7 +296,7 @@ def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
 
 
 def value_pallas(mix: GaussianMixture, spec: FieldSpec,
-                 x: jnp.ndarray, tb: int = 256,
+                 x: jnp.ndarray, tb: int = 0,
                  tn: int = 512) -> jnp.ndarray:
     """Value-only fused Pallas path: rhs carries just the velocity
     coefficients (plus one zero column so the kernel's grad-weighted matmul
@@ -301,6 +308,7 @@ def value_pallas(mix: GaussianMixture, spec: FieldSpec,
             f"query points must have shape (B, {mix.d}); got {x.shape}")
     vdim = mix.vdim
     b = x.shape[0]
+    tb = tb or _auto_tb(b)
     W, _, _ = _quad_weights(mix)
     dead = ~in_domain_mask(mix, spec)
     W = W.at[:, -1].add(jnp.where(dead, 1e9, 0.0))
