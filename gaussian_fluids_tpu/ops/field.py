@@ -137,7 +137,7 @@ def value_and_jac(mix: GaussianMixture, spec: FieldSpec,
     """(u(x), du/dx): shapes (B, vdim) and (B, vdim, d). Dispatches to the
     fused Pallas kernel on TPU (GF_FIELD_BACKEND overrides)."""
     if _use_pallas(x.shape[0], mix.capacity):
-        return value_and_jac_pallas(mix, spec, x)
+        return value_and_jac_centered(mix, spec, x)
     return value_and_jac_dense(mix, spec, x)
 
 
@@ -292,6 +292,48 @@ def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
     t1 = out[:, vdim:vdim + vdim * d * d].reshape(b, vdim, d, d)
     t2 = out[:, vdim + vdim * d * d:].reshape(b, vdim, d)
     jac = -(jnp.einsum("bakj,bj->bak", t1, x) - t2)
+    return val, jac
+
+
+def _packed_precisions(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
+    """(N, d(d+1)/2 + 1): P diagonal, P off-diagonals (i<j), dead-row bias."""
+    d = mix.d
+    P = mix.precisions()
+    cols = [P[:, i, i] for i in range(d)]
+    for i in range(d):
+        for j in range(i + 1, d):
+            cols.append(P[:, i, j])
+    dead = ~in_domain_mask(mix, spec)
+    cols.append(jnp.where(dead, 1e9, 0.0))
+    return jnp.stack(cols, axis=-1)
+
+
+def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
+                           x: jnp.ndarray, tb: int = 0,
+                           tn: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same semantics as ``value_and_jac`` via the centered fused Pallas
+    kernel (ops/pallas/gsr_centered.py) — the production TPU path."""
+    from gaussian_fluids_tpu.ops.pallas.gsr_centered import fused_gsr_centered
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    d, vdim = mix.d, mix.vdim
+    b = x.shape[0]
+    # unlike the feature kernel this one keeps ~10 (tb, tn) f32 VPU
+    # temporaries live in VMEM; tb=256 x tn=512 uses ~5 MB of the 16 MB
+    # scoped limit, tb=1024 overflows it.
+    tb = tb or 256
+    pp = _packed_precisions(mix, spec)
+    x_p = _pad_axis(x, tb, axis=0)
+    mu_p = _pad_axis(mix.positions, tn, axis=0)
+    pp_p = _pad_axis(pp, tn, axis=0)
+    nb = d * (d + 1) // 2
+    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)   # padded rows never fire
+    v_p = _pad_axis(mix.values, tn, axis=0)
+    out = fused_gsr_centered(x_p, mu_p.T, pp_p.T, v_p, d, vdim,
+                             float(spec.clamp_threshold), tb, tn)[:b]
+    val = out[:, :vdim]
+    jac = jnp.transpose(out[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
     return val, jac
 
 

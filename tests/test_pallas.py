@@ -96,3 +96,60 @@ def test_backend_dispatch_env(monkeypatch):
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_p), np.asarray(j_d),
                                rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_centered_kernel_matches_dense(d):
+    mix, spec = _mix(100, d, seed=d + 20)
+    rng = np.random.RandomState(17)
+    x = jnp.asarray(rng.uniform(-5, 5, (70, d)), jnp.float32)
+    v_d, j_d = field.value_and_jac_dense(mix, spec, x)
+    v_c, j_c = field.value_and_jac_centered(mix, spec, x, tb=64, tn=256)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
+                               rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_centered_kernel_gradients(d):
+    mix, spec = _mix(80, d, seed=d + 30)
+    rng = np.random.RandomState(19)
+    x = jnp.asarray(rng.uniform(-4, 4, (64, d)), jnp.float32)
+
+    def loss(p, impl):
+        m = mix.with_params(p)
+        v, j = impl(m, spec, x)
+        return jnp.abs(v).mean() + jnp.abs(j).mean() + (v * v).mean()
+
+    gd = jax.grad(lambda p: loss(p, field.value_and_jac_dense))(mix.params())
+    gc = jax.grad(lambda p: loss(
+        p, lambda m, s, q: field.value_and_jac_centered(m, s, q, tb=64,
+                                                        tn=256)))(mix.params())
+    for k in gd:
+        np.testing.assert_allclose(np.asarray(gc[k]), np.asarray(gd[k]),
+                                   rtol=5e-3, atol=1e-5, err_msg=k)
+
+    # gradient w.r.t. query points (RK4 differentiability)
+    gx_d = jax.grad(lambda q: field.value_and_jac_dense(
+        mix, spec, q)[1].sum())(x)
+    gx_c = jax.grad(lambda q: field.value_and_jac_centered(
+        mix, spec, q, tb=64, tn=256)[1].sum())(x)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_d),
+                               rtol=5e-3, atol=1e-4)
+
+
+def test_centered_kernel_dead_and_padding():
+    mix, spec = _mix(60, 2, seed=29)
+    alive = mix.alive.at[10:20].set(False)
+    pos = mix.positions.at[25:30].set(jnp.asarray([50.0, 50.0]))
+    mix2 = GaussianMixture(pos, mix.scalings, mix.rotations, mix.values,
+                           alive)
+    x = jnp.asarray(np.random.RandomState(1).uniform(-4, 4, (33, 2)),
+                    jnp.float32)
+    v_d, j_d = field.value_and_jac_dense(mix2, spec, x)
+    v_c, j_c = field.value_and_jac_centered(mix2, spec, x, tb=64, tn=256)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
+                               rtol=1e-3, atol=1e-5)
