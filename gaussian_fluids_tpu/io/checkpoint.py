@@ -71,6 +71,9 @@ def load_checkpoint(path: str) -> Tuple[GaussianMixture, FieldSpec]:
     hi = tuple(float(dr[2 * i + 1]) for i in range(d))
     spec = FieldSpec(d=d, vdim=values.shape[1], clamp_threshold=clamp,
                      min_grid_scale=mgs, lo=lo, hi=hi)
+    # sort by coordinate 0 so the block-sparse field backend starts with
+    # tight tile bounding boxes (Gaussian order is semantically irrelevant)
     mix = GaussianMixture.from_arrays(positions, get("scalings"),
-                                      get("rotations"), values, spec)
+                                      get("rotations"), values,
+                                      spec).spatially_sorted()
     return mix, spec

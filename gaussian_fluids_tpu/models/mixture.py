@@ -111,6 +111,22 @@ class GaussianMixture:
         alive = jnp.zeros((cap,), bool).at[:n].set(True)
         return GaussianMixture(pos, _pad(scalings), rot, _pad(values), alive)
 
+    def spatially_sorted(self) -> "GaussianMixture":
+        """Reorder Gaussians by position coordinate 0 (dead rows last).
+
+        Gaussian order is semantically irrelevant (all evaluations are
+        order-invariant sums), but the block-sparse Pallas backend
+        (ops/field.py value_and_jac_centered) skips (query-tile x
+        gaussian-tile) pairs by bounding box, which only pays off when
+        tiles are spatially compact. The solver calls this at frame
+        boundaries; within a frame positions drift too slowly to matter.
+        Jittable."""
+        key = jnp.where(self.alive, self.positions[:, 0], jnp.inf)
+        order = jnp.argsort(key)
+        return GaussianMixture(self.positions[order], self.scalings[order],
+                               self.rotations[order], self.values[order],
+                               self.alive[order])
+
     def compact(self) -> "GaussianMixture":
         """Drop padding (host-side; not jittable)."""
         keep = np.asarray(self.alive)

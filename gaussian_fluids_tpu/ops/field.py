@@ -121,7 +121,7 @@ def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     support (reference 2D/GSR.py:279-281). Dispatches to the fused Pallas
     kernel on TPU (GF_FIELD_BACKEND overrides)."""
     if _use_pallas(x.shape[0], mix.capacity):
-        return value_pallas(mix, spec, x)
+        return value_centered(mix, spec, x)
     return value_dense(mix, spec, x)
 
 
@@ -308,11 +308,45 @@ def _packed_precisions(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
+def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
+               tb: int, tn: int) -> jnp.ndarray:
+    """(B//tb, N//tn) i32: 1 where a query tile's bounding box intersects a
+    Gaussian tile's bounding box dilated by that tile's largest support
+    radius. Exact: every Gaussian with g >= clamp lies within its own
+    radius of the query, so skipped tiles cannot contribute (the same
+    guarantee as the reference's uniform grid, 2D/GSR.py:224-229)."""
+    import math
+    d = x_p.shape[1]
+    nbt, nnt = x_p.shape[0] // tb, mu_p.shape[0] // tn
+    xb = x_p.reshape(nbt, tb, d)
+    vb = valid_b.reshape(nbt, tb, 1)
+    blo = jnp.min(jnp.where(vb, xb, jnp.inf), axis=1)       # (nbt, d)
+    bhi = jnp.max(jnp.where(vb, xb, -jnp.inf), axis=1)
+    mun = mu_p.reshape(nnt, tn, d)
+    dn = dead_n.reshape(nnt, tn, 1)
+    nlo = jnp.min(jnp.where(dn, jnp.inf, mun), axis=1)      # (nnt, d)
+    nhi = jnp.max(jnp.where(dn, -jnp.inf, mun), axis=1)
+    r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
+         * jnp.exp(-jnp.min(scalings_p, axis=-1)))          # (N,)
+    r = jnp.max(jnp.where(dead_n, 0.0, r).reshape(nnt, tn), axis=1)
+    ok = jnp.all(
+        (bhi[:, None, :] >= nlo[None, :, :] - r[None, :, None])
+        & (blo[:, None, :] <= nhi[None, :, :] + r[None, :, None]), axis=-1)
+    return ok.astype(jnp.int32)
+
+
 def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
                            x: jnp.ndarray, tb: int = 0,
                            tn: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same semantics as ``value_and_jac`` via the centered fused Pallas
-    kernel (ops/pallas/gsr_centered.py) — the production TPU path."""
+    kernel (ops/pallas/gsr_centered.py) — the production TPU path.
+
+    Block sparsity: queries are sorted along coordinate 0 (results are
+    unsorted on the way out), and (query-tile x gaussian-tile) pairs whose
+    bounding boxes cannot interact are skipped inside the kernel. With the
+    mixture also kept approximately coordinate-sorted (the solver re-sorts
+    at frame boundaries) the tile mask is a narrow band. Disable with
+    GF_SPARSE=0."""
     from gaussian_fluids_tpu.ops.pallas.gsr_centered import fused_gsr_centered
     if x.ndim != 2 or x.shape[1] != mix.d:
         raise ValueError(
@@ -323,18 +357,80 @@ def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
     # temporaries live in VMEM; tb=256 x tn=512 uses ~5 MB of the 16 MB
     # scoped limit, tb=1024 overflows it.
     tb = tb or 256
+    sparse = os.environ.get("GF_SPARSE", "1") != "0"
+
+    if sparse:
+        order = jnp.argsort(x[:, 0])
+        inv = jnp.argsort(order)
+        x = x[order]
+
     pp = _packed_precisions(mix, spec)
     x_p = _pad_axis(x, tb, axis=0)
+    bp = x_p.shape[0]
     mu_p = _pad_axis(mix.positions, tn, axis=0)
     pp_p = _pad_axis(pp, tn, axis=0)
     nb = d * (d + 1) // 2
     pp_p = pp_p.at[mix.capacity:, nb].set(1e9)   # padded rows never fire
     v_p = _pad_axis(mix.values, tn, axis=0)
-    out = fused_gsr_centered(x_p, mu_p.T, pp_p.T, v_p, d, vdim,
+
+    if sparse:
+        valid_b = jnp.arange(bp) < b
+        dead_n = _pad_axis(
+            (~in_domain_mask(mix, spec)).astype(jnp.float32), tn, axis=0,
+            fill=1.0) > 0.5
+        s_p = _pad_axis(mix.scalings, tn, axis=0)
+        tmask = _tile_mask(x_p, valid_b, mu_p, dead_n, s_p, spec, tb, tn)
+    else:
+        tmask = jnp.ones((bp // tb, mu_p.shape[0] // tn), jnp.int32)
+
+    out = fused_gsr_centered(tmask, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
                              float(spec.clamp_threshold), tb, tn)[:b]
     val = out[:, :vdim]
     jac = jnp.transpose(out[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
+    if sparse:
+        val = val[inv]
+        jac = jac[inv]
     return val, jac
+
+
+def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
+                   tb: int = 0, tn: int = 512) -> jnp.ndarray:
+    """Value-only variant of ``value_and_jac_centered`` (njac=0): skips the
+    Jacobian contractions and their backward cotangents — the boundary-loss
+    fast path."""
+    from gaussian_fluids_tpu.ops.pallas.gsr_centered import fused_gsr_centered
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    d, vdim = mix.d, mix.vdim
+    b = x.shape[0]
+    tb = tb or 256
+    sparse = os.environ.get("GF_SPARSE", "1") != "0"
+    if sparse:
+        order = jnp.argsort(x[:, 0])
+        inv = jnp.argsort(order)
+        x = x[order]
+    pp = _packed_precisions(mix, spec)
+    x_p = _pad_axis(x, tb, axis=0)
+    bp = x_p.shape[0]
+    mu_p = _pad_axis(mix.positions, tn, axis=0)
+    pp_p = _pad_axis(pp, tn, axis=0)
+    nb = d * (d + 1) // 2
+    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
+    v_p = _pad_axis(mix.values, tn, axis=0)
+    if sparse:
+        valid_b = jnp.arange(bp) < b
+        dead_n = _pad_axis(
+            (~in_domain_mask(mix, spec)).astype(jnp.float32), tn, axis=0,
+            fill=1.0) > 0.5
+        s_p = _pad_axis(mix.scalings, tn, axis=0)
+        tmask = _tile_mask(x_p, valid_b, mu_p, dead_n, s_p, spec, tb, tn)
+    else:
+        tmask = jnp.ones((bp // tb, mu_p.shape[0] // tn), jnp.int32)
+    out = fused_gsr_centered(tmask, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
+                             float(spec.clamp_threshold), tb, tn, 0)[:b]
+    val = out[:, :vdim]
+    return val[inv] if sparse else val
 
 
 def value_pallas(mix: GaussianMixture, spec: FieldSpec,

@@ -90,81 +90,88 @@ def _tile_quantities(x, muT, ppT, d, clamp):
     return delta, g, m, pd
 
 
-def _fwd_kernel(x_ref, muT_ref, ppT_ref, v_ref, out_ref, acc_ref, *,
-                d, vdim, clamp, nsteps):
-    j = pl.program_id(1)
+def _fwd_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, out_ref, acc_ref,
+                *, d, vdim, clamp, nsteps, njac):
+    i, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    _, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT_ref[:], d,
-                                   clamp)
-    v = v_ref[:]
-    mgv = jnp.where(m, g - clamp, 0.0)
-    mg = jnp.where(m, g, 0.0)
-    acc_ref[:, :vdim] += _DOT(mgv, v, (((1,), (0,)), ((), ())))
-    for k in range(d):
-        acc_ref[:, (1 + k) * vdim:(2 + k) * vdim] += _DOT(
-            -mg * pd[k], v, (((1,), (0,)), ((), ())))
+    @pl.when(tmask_ref[i, j] != 0)
+    def _():
+        _, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT_ref[:], d,
+                                       clamp)
+        v = v_ref[:]
+        mgv = jnp.where(m, g - clamp, 0.0)
+        mg = jnp.where(m, g, 0.0)
+        acc_ref[:, :vdim] += _DOT(mgv, v, (((1,), (0,)), ((), ())))
+        for k in range(njac):
+            acc_ref[:, (1 + k) * vdim:(2 + k) * vdim] += _DOT(
+                -mg * pd[k], v, (((1,), (0,)), ((), ())))
 
     @pl.when(j == nsteps - 1)
     def _():
         out_ref[:] = acc_ref[:]
 
 
-def _bwd_cotangents(g, m, pd, dout, v, d, vdim):
+def _bwd_cotangents(g, m, pd, dout, v, njac, vdim):
     """Shared: (gquad, gpd list, mg) from output cotangents."""
     # s1 = dval @ v^T ; s2k = djac_k @ v^T    -- (TB, TN)
     s1 = _DOT(dout[:, :vdim], v, (((1,), (1,)), ((), ())))
     s2 = [_DOT(dout[:, (1 + k) * vdim:(2 + k) * vdim], v,
-               (((1,), (1,)), ((), ()))) for k in range(d)]
+               (((1,), (1,)), ((), ()))) for k in range(njac)]
     mg = jnp.where(m, g, 0.0)
     gg = s1
-    for k in range(d):
+    for k in range(njac):
         gg = gg - s2[k] * pd[k]
     gquad = jnp.where(m, -0.5 * g * gg, 0.0)    # dL/dquad
-    gpd = [-mg * s2[k] for k in range(d)]       # dL/dPd_k
+    gpd = [-mg * s2[k] for k in range(njac)]    # dL/dPd_k
     return gquad, gpd, mg
 
 
 def _dxj_tile(gquad, gpd, pd, ppT, d, jdim):
     """dL/dx_j contributions on the (TB, TN) tile (before reduction):
-    dquad/dx_j = 2 Pd_j ; dPd_k/dx_j = P[k, j]."""
-    t = gquad * (2.0 * pd[jdim]) + gpd[jdim] * ppT[jdim:jdim + 1, :]
+    dquad/dx_j = 2 Pd_j ; dPd_k/dx_j = P[k, j]. ``gpd`` may be shorter
+    than d (value-only mode has no Pd cotangents)."""
+    t = gquad * (2.0 * pd[jdim])
+    if jdim < len(gpd):
+        t += gpd[jdim] * ppT[jdim:jdim + 1, :]
     for c, (i, jj) in enumerate(_off_pairs(d)):
-        if i == jdim:
+        if i == jdim and jj < len(gpd):
             t += gpd[jj] * ppT[d + c:d + c + 1, :]
-        elif jj == jdim:
+        elif jj == jdim and i < len(gpd):
             t += gpd[i] * ppT[d + c:d + c + 1, :]
     return t
 
 
-def _bwd_dx_kernel(x_ref, muT_ref, ppT_ref, v_ref, dout_ref, dx_ref,
-                   acc_ref, *, d, vdim, clamp, nsteps):
-    j = pl.program_id(1)
+def _bwd_dx_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
+                   dx_ref, acc_ref, *, d, vdim, clamp, nsteps, njac):
+    i, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    ppT = ppT_ref[:]
-    _, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d, clamp)
-    gquad, gpd, _ = _bwd_cotangents(g, m, pd, dout_ref[:], v_ref[:], d,
-                                    vdim)
-    for jdim in range(d):
-        t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
-        acc_ref[:, jdim:jdim + 1] += jnp.sum(t, axis=1, keepdims=True)
+    @pl.when(tmask_ref[i, j] != 0)
+    def _():
+        ppT = ppT_ref[:]
+        _, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d, clamp)
+        gquad, gpd, _ = _bwd_cotangents(g, m, pd, dout_ref[:], v_ref[:],
+                                        njac, vdim)
+        for jdim in range(d):
+            t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
+            acc_ref[:, jdim:jdim + 1] += jnp.sum(t, axis=1, keepdims=True)
 
     @pl.when(j == nsteps - 1)
     def _():
         dx_ref[:] = acc_ref[:]
 
 
-def _bwd_dn_kernel(x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
+def _bwd_dn_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
                    dmu_ref, dpp_ref, dv_ref, dmu_acc, dpp_acc, dv_acc, *,
-                   d, vdim, clamp, nsteps):
-    i = pl.program_id(1)  # B is the reduction axis in this pass
+                   d, vdim, clamp, nsteps, njac):
+    jn, i = pl.program_id(0), pl.program_id(1)  # B is the reduction axis
 
     @pl.when(i == 0)
     def _():
@@ -172,37 +179,48 @@ def _bwd_dn_kernel(x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
         dpp_acc[:] = jnp.zeros_like(dpp_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    ppT = ppT_ref[:]
-    delta, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d, clamp)
-    dout = dout_ref[:]
-    v = v_ref[:]
-    gquad, gpd, mg = _bwd_cotangents(g, m, pd, dout, v, d, vdim)
-    mgv = jnp.where(m, g - clamp, 0.0)
+    @pl.when(tmask_ref[i, jn] != 0)
+    def _():
+        ppT = ppT_ref[:]
+        delta, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d,
+                                           clamp)
+        dout = dout_ref[:]
+        v = v_ref[:]
+        gquad, gpd, mg = _bwd_cotangents(g, m, pd, dout, v, njac, vdim)
+        mgv = jnp.where(m, g - clamp, 0.0)
 
-    # dv: mgv^T @ dval - sum_k (mg Pd_k)^T @ djac_k
-    dv = _DOT(mgv, dout[:, :vdim], (((0,), (0,)), ((), ())))
-    for k in range(d):
-        dv += _DOT(-mg * pd[k], dout[:, (1 + k) * vdim:(2 + k) * vdim],
-                   (((0,), (0,)), ((), ())))
-    dv_acc[:] += dv
+        # dv: mgv^T @ dval - sum_k (mg Pd_k)^T @ djac_k
+        dv = _DOT(mgv, dout[:, :vdim], (((0,), (0,)), ((), ())))
+        for k in range(njac):
+            dv += _DOT(-mg * pd[k],
+                       dout[:, (1 + k) * vdim:(2 + k) * vdim],
+                       (((0,), (0,)), ((), ())))
+        dv_acc[:] += dv
 
-    # dmu_j = -(dL/dx_j summed over the tile's queries), per n
-    for jdim in range(d):
-        t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
-        dmu_acc[:, jdim:jdim + 1] += -jnp.sum(t, axis=0, keepdims=True).T
+        # dmu_j = -(dL/dx_j summed over the tile's queries), per n
+        for jdim in range(d):
+            t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
+            dmu_acc[:, jdim:jdim + 1] += -jnp.sum(t, axis=0,
+                                                  keepdims=True).T
 
-    # dPp: diagonal d(quad)/dP_ii = delta_i^2, d(Pd_i)/dP_ii = delta_i;
-    # off-diag (i<j): d(quad)/dP_ij = 2 delta_i delta_j,
-    # d(Pd_i)/dP_ij = delta_j, d(Pd_j)/dP_ij = delta_i; bias: d(quad)=1.
-    for k in range(d):
-        t = (gquad * delta[k] + gpd[k]) * delta[k]
-        dpp_acc[:, k:k + 1] += jnp.sum(t, axis=0, keepdims=True).T
-    for c, (ii, jj) in enumerate(_off_pairs(d)):
-        t = (2.0 * gquad * delta[ii] + gpd[ii]) * delta[jj] \
-            + gpd[jj] * delta[ii]
-        dpp_acc[:, d + c:d + c + 1] += jnp.sum(t, axis=0, keepdims=True).T
-    nb = d * (d + 1) // 2
-    dpp_acc[:, nb:nb + 1] += jnp.sum(gquad, axis=0, keepdims=True).T
+        # dPp: diagonal d(quad)/dP_ii = delta_i^2, d(Pd_i)/dP_ii = delta_i;
+        # off-diag (i<j): d(quad)/dP_ij = 2 delta_i delta_j,
+        # d(Pd_i)/dP_ij = delta_j, d(Pd_j)/dP_ij = delta_i; bias: d(quad)=1.
+        for k in range(d):
+            t = gquad * delta[k] * delta[k]
+            if k < njac:
+                t += gpd[k] * delta[k]
+            dpp_acc[:, k:k + 1] += jnp.sum(t, axis=0, keepdims=True).T
+        for c, (ii, jj) in enumerate(_off_pairs(d)):
+            t = 2.0 * gquad * delta[ii] * delta[jj]
+            if ii < njac:
+                t += gpd[ii] * delta[jj]
+            if jj < njac:
+                t += gpd[jj] * delta[ii]
+            dpp_acc[:, d + c:d + c + 1] += jnp.sum(t, axis=0,
+                                                   keepdims=True).T
+        nb = d * (d + 1) // 2
+        dpp_acc[:, nb:nb + 1] += jnp.sum(gquad, axis=0, keepdims=True).T
 
     @pl.when(i == nsteps - 1)
     def _():
@@ -211,18 +229,20 @@ def _bwd_dn_kernel(x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
         dv_ref[:] = dv_acc[:]
 
 
-def _fwd(x, muT, ppT, values, d, vdim, clamp, tb, tn):
+def _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac):
     B = x.shape[0]
     N = muT.shape[1]
     assert B % tb == 0 and N % tn == 0, (B, N, tb, tn)
     nsteps = N // tn
-    cols = (1 + d) * vdim
+    assert tmask.shape == (B // tb, nsteps), (tmask.shape, B // tb, nsteps)
+    cols = (1 + njac) * vdim
     np_ = ppT.shape[0]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, d=d, vdim=vdim, clamp=clamp,
-                          nsteps=nsteps),
+                          nsteps=nsteps, njac=njac),
         grid=(B // tb, nsteps),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tb, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tn), lambda i, j: (0, j),
@@ -237,19 +257,20 @@ def _fwd(x, muT, ppT, values, d, vdim, clamp, tb, tn):
         out_shape=jax.ShapeDtypeStruct((B, cols), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tb, cols), jnp.float32)],
         interpret=_interpret(),
-    )(x, muT, ppT, values)
+    )(tmask, x, muT, ppT, values)
 
 
-def _bwd(x, muT, ppT, values, dout, d, vdim, clamp, tb, tn):
+def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac):
     B = x.shape[0]
     N = muT.shape[1]
     np_ = ppT.shape[0]
-    cols = (1 + d) * vdim
+    cols = (1 + njac) * vdim
     dx = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, d=d, vdim=vdim, clamp=clamp,
-                          nsteps=N // tn),
+                          nsteps=N // tn, njac=njac),
         grid=(B // tb, N // tn),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tb, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tn), lambda i, j: (0, j),
@@ -266,13 +287,14 @@ def _bwd(x, muT, ppT, values, dout, d, vdim, clamp, tb, tn):
         out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tb, d), jnp.float32)],
         interpret=_interpret(),
-    )(x, muT, ppT, values, dout)
+    )(tmask, x, muT, ppT, values, dout)
 
     dmu, dpp, dv = pl.pallas_call(
         functools.partial(_bwd_dn_kernel, d=d, vdim=vdim, clamp=clamp,
-                          nsteps=B // tb),
+                          nsteps=B // tb, njac=njac),
         grid=(N // tn, B // tb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tb, d), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tn), lambda j, i: (0, j),
@@ -299,27 +321,36 @@ def _bwd(x, muT, ppT, values, dout, d, vdim, clamp, tb, tn):
                         pltpu.VMEM((tn, np_), jnp.float32),
                         pltpu.VMEM((tn, vdim), jnp.float32)],
         interpret=_interpret(),
-    )(x, muT, ppT, values, dout)
+    )(tmask, x, muT, ppT, values, dout)
     return dx, dmu, dpp, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def fused_gsr_centered(x, muT, ppT, values, d, vdim, clamp, tb=256, tn=512):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def fused_gsr_centered(tmask, x, muT, ppT, values, d, vdim, clamp,
+                       tb=256, tn=512, njac=-1):
     """(B, (1+d)*vdim) = [val | jac_0 | ... | jac_{d-1}] columns, where
-    jac_k[:, a] = d u_a / d x_k (sign included)."""
-    return _fwd(x, muT, ppT, values, d, vdim, clamp, tb, tn)
+    jac_k[:, a] = d u_a / d x_k (sign included). ``tmask``
+    (B//tb, N//tn) i32 marks (query-tile, gaussian-tile) pairs that may
+    interact; 0-tiles are skipped entirely (the caller must guarantee
+    skipped tiles cannot contribute — see field.value_and_jac_centered).
+    ``njac``: how many Jacobian column groups to emit (d, or 0 for
+    value-only; -1 means d)."""
+    njac = d if njac < 0 else njac
+    return _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac)
 
 
-def _fwd_rule(x, muT, ppT, values, d, vdim, clamp, tb, tn):
-    return _fwd(x, muT, ppT, values, d, vdim, clamp, tb, tn), \
-        (x, muT, ppT, values)
+def _fwd_rule(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac=-1):
+    njac = d if njac < 0 else njac
+    return _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn,
+                njac), (tmask, x, muT, ppT, values)
 
 
-def _bwd_rule(d, vdim, clamp, tb, tn, res, dout):
-    x, muT, ppT, values = res
-    dx, dmu, dpp, dv = _bwd(x, muT, ppT, values, dout, d, vdim, clamp,
-                            tb, tn)
-    return dx, dmu.T, dpp.T, dv
+def _bwd_rule(d, vdim, clamp, tb, tn, njac, res, dout):
+    njac = d if njac < 0 else njac
+    tmask, x, muT, ppT, values = res
+    dx, dmu, dpp, dv = _bwd(tmask, x, muT, ppT, values, dout, d, vdim,
+                            clamp, tb, tn, njac)
+    return jnp.zeros_like(tmask), dx, dmu.T, dpp.T, dv
 
 
 fused_gsr_centered.defvjp(_fwd_rule, _bwd_rule)

@@ -37,7 +37,7 @@ def advect_covector_field_2d(mix: GaussianMixture, spec: FieldSpec,
     return GaussianMixture.from_arrays(
         pos[valid], np.asarray(mix.scalings)[valid],
         np.asarray(mix.rotations)[valid], np.asarray(mix.values)[valid],
-        spec)
+        spec).spatially_sorted()
 
 
 def advect_covector_field_3d(mix: GaussianMixture,
@@ -49,5 +49,7 @@ def advect_covector_field_3d(mix: GaussianMixture,
     new_pos = jnp.clip(new_pos, lo, hi)
     # keep padded entries parked at spec.lo
     new_pos = jnp.where(mix.alive[:, None], new_pos, lo)
+    # re-sort by coordinate 0 so the block-sparse field backend's tile
+    # bounding boxes stay tight (order is semantically irrelevant)
     return GaussianMixture(new_pos, mix.scalings, mix.rotations, mix.values,
-                           mix.alive)
+                           mix.alive).spatially_sorted()

@@ -100,8 +100,11 @@ def split_gaussians_2d(mix: GaussianMixture, spec: FieldSpec,
     new_val = np.concatenate([val[~need], child_val])
     stop = np.zeros((new_pos.shape[0],), bool)
     stop[: int((~need).sum())] = True
-    return (GaussianMixture.from_arrays(new_pos, new_sca, new_rot, new_val,
-                                        spec), stop, n_split)
+    # coordinate-0 sort for the block-sparse backend; stop stays aligned
+    order = np.argsort(new_pos[:, 0], kind="stable")
+    return (GaussianMixture.from_arrays(new_pos[order], new_sca[order],
+                                        new_rot[order], new_val[order],
+                                        spec), stop[order], n_split)
 
 
 def split_gaussians_3d(mix: GaussianMixture, spec: FieldSpec,
@@ -145,7 +148,10 @@ def split_gaussians_3d(mix: GaussianMixture, spec: FieldSpec,
         val = np.concatenate([val[~need], child_val])
         stop = np.concatenate([stop[~need],
                                np.zeros((2 * n_split,), bool)])
-    return (GaussianMixture.from_arrays(pos, sca, rot, val, spec), stop,
+    # coordinate-0 sort for the block-sparse backend; stop stays aligned
+    order = np.argsort(pos[:, 0], kind="stable")
+    return (GaussianMixture.from_arrays(pos[order], sca[order], rot[order],
+                                        val[order], spec), stop[order],
             total_split)
 
 

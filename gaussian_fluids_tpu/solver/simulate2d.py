@@ -88,7 +88,7 @@ def initialize_2d(init_cond: str, out_dir: str, max_epoch: int = 10000,
 
     pos = grid_points_2d(lo[0], hi[0], lo[1], hi[1], x_n, y_n)
     spec = FieldSpec.create(lo, hi, pos.shape[0], d=2, vdim=2)
-    mix = GaussianMixture.create(pos, spec)
+    mix = GaussianMixture.create(pos, spec).spatially_sorted()
     print(f"Particle count: {pos.shape[0]} ({x_n} x {y_n})")
 
     key = jax.random.PRNGKey(seed)

@@ -83,7 +83,7 @@ def initialize_3d(init_cond: str, out_dir: str, max_epoch: int = 500,
     xn, yn, zn = particle_count or scene.particle_count
     pos = grid_points_3d(*scene.domain, xn, yn, zn)
     spec = FieldSpec.create(lo, hi, pos.shape[0], d=3, vdim=3)
-    mix = GaussianMixture.create(pos, spec)
+    mix = GaussianMixture.create(pos, spec).spatially_sorted()
     print("Particle count:", pos.shape[0])
     if scene.mesh_sampler is not None:
         scene.mesh_sampler.save_obj(os.path.join(out_dir, "obstacle.obj"))

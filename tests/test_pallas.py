@@ -153,3 +153,38 @@ def test_centered_kernel_dead_and_padding():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
                                rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_centered_value_only(d):
+    mix, spec = _mix(90, d, seed=d + 40)
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.uniform(-5, 5, (70, d)), jnp.float32)
+    v_d = field.value_dense(mix, spec, x)
+    v_c = field.value_centered(mix, spec, x, tb=64, tn=256)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+    gd = jax.grad(lambda p: jnp.abs(field.value_dense(
+        mix.with_params(p), spec, x)).mean())(mix.params())
+    gc = jax.grad(lambda p: jnp.abs(field.value_centered(
+        mix.with_params(p), spec, x, tb=64, tn=256)).mean())(mix.params())
+    for k in gd:
+        np.testing.assert_allclose(np.asarray(gc[k]), np.asarray(gd[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=k)
+
+
+def test_centered_sparse_outlier_gaussian():
+    # one huge Gaussian whose support spans the domain must never be
+    # culled by the tile mask
+    mix, spec = _mix(70, 2, seed=51)
+    sca = mix.scalings.at[7].set(jnp.asarray([-2.5, -2.5]))  # huge radius
+    mix2 = GaussianMixture(mix.positions, sca, mix.rotations, mix.values,
+                           mix.alive)
+    x = jnp.asarray(np.random.RandomState(5).uniform(-5, 5, (100, 2)),
+                    jnp.float32)
+    v_d, j_d = field.value_and_jac_dense(mix2, spec, x)
+    v_c, j_c = field.value_and_jac_centered(mix2, spec, x, tb=64, tn=256)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
+                               rtol=1e-3, atol=1e-5)
