@@ -8,4 +8,5 @@ from gaussian_fluids_tpu.solver.simulate3d import advance_density
 
 if __name__ == "__main__":
     args = parse_args_3d()
-    advance_density(args.init_cond, args.dir, args.dt)
+    advance_density(args.init_cond, args.dir, args.dt,
+                    res_multiplier=args.density_res_multiplier)

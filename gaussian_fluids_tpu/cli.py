@@ -24,6 +24,10 @@ def _common(parser: argparse.ArgumentParser, dim: int):
                         default=10.0 if dim == 2 else 100.0)
     if dim == 3:
         parser.add_argument("--boundary", type=float, default=10.0)
+        parser.add_argument("--density_res_multiplier", type=int, default=4,
+                            help="density grid = visualize_res * this "
+                                 "(reference 3D/advance_density.py:3-7 "
+                                 "uses 4 -> 512^3)")
     parser.add_argument("--max_epoch", type=int, default=None,
                         help="override the per-phase epoch budget")
     parser.add_argument("--no_viz", action="store_true")

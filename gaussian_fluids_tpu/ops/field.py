@@ -474,3 +474,66 @@ def value_dense_oracle(mix: GaussianMixture, spec: FieldSpec,
     quad = jnp.einsum("bni,nij,bnj->bn", delta, P, delta)
     g = jnp.exp(-0.5 * quad) * mix.alive[None, :]
     return _MM(g, mix.values)
+
+
+def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
+                 band: int, tb: int = 1024, tn: int = 512,
+                 presorted: bool = False) -> jnp.ndarray:
+    """Value via the banded forward-only kernel — for huge spatially
+    coherent query sets (the density backtrace). Queries are sorted along
+    coordinate 0 internally; each query tile visits only a window of
+    ``band`` Gaussian tiles starting at its first x-overlapping tile.
+
+    CALLER CONTRACT: ``band`` (static) must cover the widest x-overlap
+    window, i.e. band >= max_i (jhi_i - jlo_i + 1) for the x-dilated tile
+    bounds — compute it host-side from the mixture and query extents with a
+    drift margin (see solver/simulate3d.advected_density). Tiles outside
+    the window are silently skipped."""
+    from gaussian_fluids_tpu.ops.pallas.gsr_centered import (
+        fused_gsr_value_banded)
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    d, vdim = mix.d, mix.vdim
+    b = x.shape[0]
+    if presorted:
+        xs = x
+    else:
+        order = jnp.argsort(x[:, 0])
+        inv = jnp.argsort(order)
+        xs = x[order]
+    pp = _packed_precisions(mix, spec)
+    x_p = _pad_axis(xs, tb, axis=0)
+    bp = x_p.shape[0]
+    mu_p = _pad_axis(mix.positions, tn, axis=0)
+    pp_p = _pad_axis(pp, tn, axis=0)
+    nbq = d * (d + 1) // 2
+    pp_p = pp_p.at[mix.capacity:, nbq].set(1e9)
+    v_p = _pad_axis(mix.values, tn, axis=0)
+
+    nbt, nnt = bp // tb, mu_p.shape[0] // tn
+    band = min(band, nnt)
+    # per-tile x extents
+    xb = x_p[:, 0].reshape(nbt, tb)
+    valid = (jnp.arange(bp) < b).reshape(nbt, tb)
+    blo = jnp.min(jnp.where(valid, xb, jnp.inf), axis=1)
+    bhi = jnp.max(jnp.where(valid, xb, -jnp.inf), axis=1)
+    dead = _pad_axis((~in_domain_mask(mix, spec)).astype(jnp.float32), tn,
+                     axis=0, fill=1.0) > 0.5
+    mun = mu_p[:, 0].reshape(nnt, tn)
+    dn = dead.reshape(nnt, tn)
+    nlo = jnp.min(jnp.where(dn, jnp.inf, mun), axis=1)
+    nhi = jnp.max(jnp.where(dn, -jnp.inf, mun), axis=1)
+    import math
+    s_p = _pad_axis(mix.scalings, tn, axis=0)
+    r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
+         * jnp.exp(-jnp.min(s_p, axis=-1)))
+    r = jnp.max(jnp.where(dead, 0.0, r).reshape(nnt, tn), axis=1)
+    mask_x = ((bhi[:, None] >= nlo[None, :] - r[None, :])
+              & (blo[:, None] <= nhi[None, :] + r[None, :]))
+    jlo = jnp.argmax(mask_x, axis=1).astype(jnp.int32)
+    jlo = jnp.clip(jlo, 0, nnt - band)
+    out = fused_gsr_value_banded(jlo, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
+                                 float(spec.clamp_threshold), tb, tn,
+                                 band)[:b]
+    return out if presorted else out[inv]

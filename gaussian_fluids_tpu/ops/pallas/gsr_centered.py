@@ -354,3 +354,73 @@ def _bwd_rule(d, vdim, clamp, tb, tn, njac, res, dout):
 
 
 fused_gsr_centered.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---- banded value-only forward (density / huge query sets) ----
+#
+# For very large, spatially coherent query sets (the 512^3 semi-Lagrangian
+# backtrace, reference 3D/advance_density.py:52-59) even SKIPPED grid steps
+# of the masked kernel dominate (B/tb * N/tn steps). With both queries and
+# Gaussians coordinate-sorted the interacting tiles form a contiguous band
+# in j; this variant walks only a per-query-tile window of `band` N-tiles,
+# whose start jlo[i] is scalar-prefetched into the index maps. Forward-only
+# (no VJP) — the density replay takes no gradients. The caller must
+# guarantee every interacting N-tile lies in [jlo[i], jlo[i]+band) — see
+# field.value_banded.
+
+
+def _val_tile(x, muT, ppT, d, clamp):
+    """(mgv,) value-only tile quantities: quad computed directly (no Pd)."""
+    delta = [x[:, i:i + 1] - muT[i:i + 1, :] for i in range(d)]
+    nb = d * (d + 1) // 2
+    quad = ppT[nb:nb + 1, :] + ppT[0:1, :] * delta[0] * delta[0]
+    for i in range(1, d):
+        quad += ppT[i:i + 1, :] * delta[i] * delta[i]
+    for c, (i, j) in enumerate(_off_pairs(d)):
+        quad += (2.0 * ppT[d + c:d + c + 1, :]) * delta[i] * delta[j]
+    g = jnp.exp(-0.5 * quad)
+    return jnp.where(g >= clamp, g - clamp, 0.0)
+
+
+def _val_banded_kernel(jlo_ref, x_ref, muT_ref, ppT_ref, v_ref, out_ref,
+                       acc_ref, *, d, clamp, band):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    mgv = _val_tile(x_ref[:], muT_ref[:], ppT_ref[:], d, clamp)
+    acc_ref[:] += _DOT(mgv, v_ref[:], (((1,), (0,)), ((), ())))
+
+    @pl.when(j == band - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def fused_gsr_value_banded(jlo, x, muT, ppT, values, d, vdim, clamp,
+                           tb, tn, band):
+    """out (B, vdim) = field value; jlo (B//tb,) i32 window starts
+    (caller clamps to [0, N//tn - band])."""
+    B = x.shape[0]
+    N = muT.shape[1]
+    np_ = ppT.shape[0]
+    assert B % tb == 0 and N % tn == 0 and band <= N // tn
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // tb, band),
+        in_specs=[
+            pl.BlockSpec((tb, d), lambda i, j, jlo: (i, 0)),
+            pl.BlockSpec((d, tn), lambda i, j, jlo: (0, jlo[i] + j)),
+            pl.BlockSpec((np_, tn), lambda i, j, jlo: (0, jlo[i] + j)),
+            pl.BlockSpec((tn, vdim), lambda i, j, jlo: (jlo[i] + j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, vdim), lambda i, j, jlo: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((tb, vdim), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_val_banded_kernel, d=d, clamp=clamp, band=band),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, vdim), jnp.float32),
+        interpret=_interpret(),
+    )(jlo, x, muT, ppT, values)

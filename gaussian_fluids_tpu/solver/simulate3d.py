@@ -4,6 +4,7 @@ smoke-density pipeline (reference 3D/initialize.py, 3D/advance.py:334-393,
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -177,36 +178,128 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
 
 # ---- offline smoke rendering (reference 3D/advance_density.py) ----
 
+def _suggest_band(mix, spec, dt, tb: int = 1024, tn: int = 512) -> int:
+    """Host-side static band width for field.value_banded: the widest
+    x-window of Gaussian tiles any query tile can overlap, with a drift
+    margin covering the RK4 stage excursions. Bucketed to multiples of 8 so
+    recompiles are rare."""
+    import math
+    from gaussian_fluids_tpu.ops import field as field_ops
+    mu = np.asarray(mix.positions)
+    dead = ~np.asarray(field_ops.in_domain_mask(mix, spec))
+    s = np.asarray(mix.scalings)
+    cap = mix.capacity
+    pad = (-cap) % tn
+    mu0 = np.concatenate([mu[:, 0], np.zeros(pad, np.float32)])
+    deadp = np.concatenate([dead, np.ones(pad, bool)])
+    r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
+         * np.exp(-s.min(-1)))
+    rp = np.concatenate([r, np.zeros(pad, np.float32)])
+    nnt = (cap + pad) // tn
+    mu0 = mu0.reshape(nnt, tn)
+    deadp = deadp.reshape(nnt, tn)
+    rp = np.where(deadp, 0.0, rp.reshape(nnt, tn)).max(1)
+    nlo = np.where(deadp, np.inf, mu0).min(1) - rp
+    nhi = np.where(deadp, -np.inf, mu0).max(1) + rp
+    L = max(spec.hi[i] - spec.lo[i] for i in range(spec.d))
+    # query tile x-width: a tile of tb of a `chunk`-point coordinate-sorted
+    # batch spans ~tb/chunk of the domain for near-uniform points; allow 4x
+    # non-uniformity slop. Drift margin covers RK4 stage excursions.
+    margin = 0.05 * L + 2.0 * abs(float(dt))
+    wB = min(L, 4.0 * L * 1024.0 / 262144.0) + margin
+    # widest window: for every possible query interval [a, a+wB], count
+    # overlapping tiles; scan tile edges as candidate interval starts
+    starts = np.concatenate([nlo, nhi]) - wB
+    cnt = (nhi[None, :] >= starts[:, None]) \
+        & (nlo[None, :] <= (starts + wB)[:, None])
+    width = 1
+    for row in cnt:
+        idx = np.nonzero(row)[0]
+        if idx.size:
+            width = max(width, int(idx[-1] - idx[0] + 1))
+    width = min(nnt, width + 2)
+    return min(nnt, ((width + 7) // 8) * 8)
+
+
 def advected_density(density, mix, spec, domain, dt, grid_shape,
                      chunk: int = 262144):
     """One semi-Lagrangian step: RK4-backtrace every grid node through the
     velocity field, clamp, and trilinearly sample the old density
-    (reference 3D/advance_density.py:52-59). Uses the culled (uniform-grid)
-    backend: at 512^3 query points a dense (B, N) sweep is prohibitive."""
+    (reference 3D/advance_density.py:52-59).
+
+    Backend: the banded value-only Pallas kernel on TPU (grid nodes are
+    spatially coherent, so each query tile visits only a static window of
+    Gaussian tiles; the (B, N) kernel matrix never materializes); the
+    gather-based culled path stays for CPU, where Pallas interpret mode is
+    slow."""
+    from gaussian_fluids_tpu.ops import field as field_ops
     from gaussian_fluids_tpu.ops import grid as grid_ops
     from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
     xn, yn, zn = grid_shape
     pts = grid_points_3d(*domain, xn, yn, zn)
     lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
     hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
-    capacity = grid_ops.suggest_capacity(mix, spec)
-    cell_grid = grid_ops.build_grid(mix, spec, capacity)
+    use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        band = _suggest_band(mix, spec, dt)
+        step_chunk = _density_step_pallas(spec, tuple(domain), band)
+        args = (mix.params(), mix.alive)
+    else:
+        capacity = grid_ops.suggest_capacity(mix, spec)
+        cell_grid = grid_ops.build_grid(mix, spec, capacity)
 
-    @jax.jit
-    def step_chunk(xc, dens):
-        bk = rk4_advect_culled(mix, spec, xc, -dt, cell_grid)
-        bk = jnp.clip(bk, lo, hi)
-        return interp.trilinear_interp(dens, bk, domain)
+        @jax.jit
+        def step_chunk(params, alive, xc, dens, dtj):
+            m = GaussianMixture(params["positions"], params["scalings"],
+                                params["rotations"], params["values"],
+                                alive)
+            bk = rk4_advect_culled(m, spec, xc, -dtj, cell_grid)
+            bk = jnp.clip(bk, lo, hi)
+            return interp.trilinear_interp(dens, bk, domain)
+        args = (mix.params(), mix.alive)
 
+    dtj = jnp.asarray(dt, jnp.float32)
     out = np.empty((pts.shape[0],), np.float32)
     n = pts.shape[0]
     pad = (-n) % chunk
     pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
     for i in range(0, n + pad, chunk):
-        out_c = step_chunk(jnp.asarray(pts_p[i:i + chunk]), density)
+        out_c = step_chunk(*args, jnp.asarray(pts_p[i:i + chunk]), density,
+                           dtj)
         out[i:min(i + chunk, n)] = np.asarray(out_c)[: max(0, min(chunk,
                                                                   n - i))]
     return jnp.asarray(out.reshape(xn, yn, zn))
+
+
+@functools.lru_cache(maxsize=None)
+def _density_step_pallas(spec, domain, band):
+    """Cached jitted semi-Lagrangian chunk step — fresh closures re-lower
+    per frame, which costs tens of seconds on the tunneled runtime (see
+    ops/field.py eval_on_grid note). Queries are sorted once per chunk and
+    the RK4 stages use presorted banded evaluations (stage drift is covered
+    by the band margin in _suggest_band)."""
+    from gaussian_fluids_tpu.ops import field as field_ops
+    lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
+    hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
+
+    @jax.jit
+    def step(params, alive, xc, dens, dtj):
+        m = GaussianMixture(params["positions"], params["scalings"],
+                            params["rotations"], params["values"], alive)
+        order = jnp.argsort(xc[:, 0])
+        inv = jnp.argsort(order)
+        xs = xc[order]
+        f = lambda q: field_ops.value_banded(m, spec, q, band,
+                                             presorted=True)
+        v = f(xs)
+        v1 = f(xs + -dtj * 0.5 * v)
+        v2 = f(xs + -dtj * 0.5 * v1)
+        v3 = f(xs + -dtj * v2)
+        bk = xs + -dtj / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+        bk = jnp.clip(bk, lo, hi)[inv]
+        return interp.trilinear_interp(dens, bk, domain)
+
+    return step
 
 
 def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
@@ -214,6 +307,7 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
     """Multi-frame re-trace variant (reference 3D/advance_density.py:61-71,
     unused by default): walk grid points back through all n saved velocity
     checkpoints, then sample the INITIAL density once."""
+    from gaussian_fluids_tpu.ops import field as field_ops
     from gaussian_fluids_tpu.ops import grid as grid_ops
     from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
     xn, yn, zn = grid_shape
@@ -223,14 +317,23 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
     hi = jnp.asarray([spec_domain[1], spec_domain[3], spec_domain[5]],
                      jnp.float32)
     x = np.asarray(pts)
+    use_pallas = jax.default_backend() in ("tpu", "axon")
     for i in range(n_frames - 1, -1, -1):
         mix, spec = checkpoint.load_checkpoint(
             os.path.join(out_dir, f"gaussian_velocity_{i}.pt"))
-        capacity = grid_ops.suggest_capacity(mix, spec)
-        cell_grid = grid_ops.build_grid(mix, spec, capacity)
+        if not use_pallas:
+            capacity = grid_ops.suggest_capacity(mix, spec)
+            cell_grid = grid_ops.build_grid(mix, spec, capacity)
 
         @jax.jit
         def bt(xc):
+            if use_pallas:
+                f = lambda q: field_ops.value_centered(mix, spec, q)
+                v = f(xc)
+                v1 = f(xc + -dt * 0.5 * v)
+                v2 = f(xc + -dt * 0.5 * v1)
+                v3 = f(xc + -dt * v2)
+                return xc + -dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
             return rk4_advect_culled(mix, spec, xc, -dt, cell_grid)
 
         out = np.empty_like(x)
