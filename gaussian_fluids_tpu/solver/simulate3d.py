@@ -302,6 +302,29 @@ def _density_step_pallas(spec, domain, band):
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _backtrace_step_pallas(spec, band):
+    """Cached jitted RK4 backtrace chunk (banded kernel, sorted once)."""
+    from gaussian_fluids_tpu.ops import field as field_ops
+
+    @jax.jit
+    def bt(params, alive, xc, dtj):
+        m = GaussianMixture(params["positions"], params["scalings"],
+                            params["rotations"], params["values"], alive)
+        order = jnp.argsort(xc[:, 0])
+        inv = jnp.argsort(order)
+        xs = xc[order]
+        f = lambda q: field_ops.value_banded(m, spec, q, band,
+                                             presorted=True)
+        v = f(xs)
+        v1 = f(xs + -dtj * 0.5 * v)
+        v2 = f(xs + -dtj * 0.5 * v1)
+        v3 = f(xs + -dtj * v2)
+        return (xs + -dtj / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3))[inv]
+
+    return bt
+
+
 def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
                        grid_shape, chunk: int = 262144):
     """Multi-frame re-trace variant (reference 3D/advance_density.py:61-71,
@@ -321,20 +344,18 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
     for i in range(n_frames - 1, -1, -1):
         mix, spec = checkpoint.load_checkpoint(
             os.path.join(out_dir, f"gaussian_velocity_{i}.pt"))
-        if not use_pallas:
+        dtj = jnp.asarray(dt, jnp.float32)
+        if use_pallas:
+            band = _suggest_band(mix, spec, dt)
+            bt_c = _backtrace_step_pallas(spec, band)
+            bt = lambda xc: bt_c(mix.params(), mix.alive, xc, dtj)
+        else:
             capacity = grid_ops.suggest_capacity(mix, spec)
             cell_grid = grid_ops.build_grid(mix, spec, capacity)
 
-        @jax.jit
-        def bt(xc):
-            if use_pallas:
-                f = lambda q: field_ops.value_centered(mix, spec, q)
-                v = f(xc)
-                v1 = f(xc + -dt * 0.5 * v)
-                v2 = f(xc + -dt * 0.5 * v1)
-                v3 = f(xc + -dt * v2)
-                return xc + -dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
-            return rk4_advect_culled(mix, spec, xc, -dt, cell_grid)
+            @jax.jit
+            def bt(xc):
+                return rk4_advect_culled(mix, spec, xc, -dt, cell_grid)
 
         out = np.empty_like(x)
         n = x.shape[0]

@@ -35,12 +35,13 @@ carry = (params, opt_state, mix.alive, mix.params(), mix.alive,
          jnp.asarray(0.02, jnp.float32))
 key = jax.random.PRNGKey(0)
 
-carry, _ = run_chunk(carry, key, 20)   # compile + warm
+EP = 100
+carry, _ = run_chunk(carry, key, EP)   # compile + warm (same static n!)
 jax.block_until_ready(carry[0]["positions"])
 t0 = time.perf_counter()
-EP = 100
 carry, _ = run_chunk(carry, key, EP)
 jax.block_until_ready(carry[0]["positions"])
+np.asarray(carry[0]["positions"][0])
 dt = time.perf_counter() - t0
 print(f"backend={os.environ.get('GF_FIELD_BACKEND', 'auto')} N={pos.shape[0]}"
       f" B={BATCH}: {dt / EP * 1e3:.2f} ms/epoch ({EP / dt:.1f} epochs/s)")
