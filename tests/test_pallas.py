@@ -188,3 +188,30 @@ def test_centered_sparse_outlier_gaussian():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_banded_value_matches_dense():
+    mix, spec = _mix(128, 3, seed=61)
+    # coherent (grid-like) queries, as in the density backtrace
+    g = np.linspace(-4.5, 4.5, 6).astype(np.float32)
+    x = jnp.asarray(np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                             -1).reshape(-1, 3))
+    v_d = field.value_dense(mix, spec, x)
+    nnt = -(-mix.capacity // 256)
+    for band in (nnt, max(1, nnt - 1)):
+        v_b = field.value_banded(mix, spec, x, band, tb=64, tn=256)
+        np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_d),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=f"band={band}")
+
+
+def test_banded_value_presorted():
+    mix, spec = _mix(100, 2, seed=67)
+    x = np.random.RandomState(3).uniform(-5, 5, (80, 2)).astype(np.float32)
+    xs = x[np.argsort(x[:, 0])]
+    nnt = -(-mix.capacity // 256)
+    v_b = field.value_banded(mix, spec, jnp.asarray(xs), nnt, tb=64,
+                             tn=256, presorted=True)
+    v_d = field.value_dense(mix, spec, jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
