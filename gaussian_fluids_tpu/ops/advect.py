@@ -21,14 +21,15 @@ from gaussian_fluids_tpu.ops import field
 
 
 def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
-               dt, with_deformation: bool = False):
+               dt, with_deformation: bool = False,
+               presorted: bool = False):
     """Advect points x for time dt.
 
     Returns phi (B, d), or (phi, dphi, v_phi, dv_phi) when
     ``with_deformation`` — matching the reference's
     ``pos_only=False`` outputs (goal_pos, deformation, goal_val, goal_grad).
     """
-    f = lambda p: field.value_and_jac(mix, spec, p)
+    f = lambda p: field.value_and_jac(mix, spec, p, presorted=presorted)
     v, dv = f(x)
     phi1 = x + dt * 0.5 * v
     v1, dv1 = f(phi1)

@@ -116,12 +116,15 @@ def masked_kernel(mix: GaussianMixture, spec: FieldSpec,
     return jnp.where(mask, g, 0.0), mask, P, pm
 
 
-def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
+def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
+          presorted: bool = False) -> jnp.ndarray:
     """u(x): (B, vdim). Fast-path semantics: sum of v_i (g_i - c) over the
     support (reference 2D/GSR.py:279-281). Dispatches to the fused Pallas
-    kernel on TPU (GF_FIELD_BACKEND overrides)."""
+    kernel on TPU (GF_FIELD_BACKEND overrides). ``presorted`` promises x is
+    ascending in coordinate 0 (skips the internal sort; an untrue promise
+    only loosens tile bounds, never correctness)."""
     if _use_pallas(x.shape[0], mix.capacity):
-        return value_centered(mix, spec, x)
+        return value_centered(mix, spec, x, presorted=presorted)
     return value_dense(mix, spec, x)
 
 
@@ -132,12 +135,14 @@ def value_dense(mix: GaussianMixture, spec: FieldSpec,
     return _MM(mg_val, mix.values)
 
 
-def value_and_jac(mix: GaussianMixture, spec: FieldSpec,
-                  x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def value_and_jac(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
+                  presorted: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(u(x), du/dx): shapes (B, vdim) and (B, vdim, d). Dispatches to the
-    fused Pallas kernel on TPU (GF_FIELD_BACKEND overrides)."""
+    fused Pallas kernel on TPU (GF_FIELD_BACKEND overrides). ``presorted``
+    as in ``value``."""
     if _use_pallas(x.shape[0], mix.capacity):
-        return value_and_jac_centered(mix, spec, x)
+        return value_and_jac_centered(mix, spec, x, presorted=presorted)
     return value_and_jac_dense(mix, spec, x)
 
 
@@ -337,7 +342,8 @@ def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
 
 def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
                            x: jnp.ndarray, tb: int = 0,
-                           tn: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                           tn: int = 512, presorted: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same semantics as ``value_and_jac`` via the centered fused Pallas
     kernel (ops/pallas/gsr_centered.py) — the production TPU path.
 
@@ -359,7 +365,8 @@ def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
     tb = tb or 256
     sparse = os.environ.get("GF_SPARSE", "1") != "0"
 
-    if sparse:
+    do_sort = sparse and not presorted
+    if do_sort:
         order = jnp.argsort(x[:, 0])
         inv = jnp.argsort(order)
         x = x[order]
@@ -387,14 +394,15 @@ def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
                              float(spec.clamp_threshold), tb, tn)[:b]
     val = out[:, :vdim]
     jac = jnp.transpose(out[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
-    if sparse:
+    if do_sort:
         val = val[inv]
         jac = jac[inv]
     return val, jac
 
 
 def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
-                   tb: int = 0, tn: int = 512) -> jnp.ndarray:
+                   tb: int = 0, tn: int = 512,
+                   presorted: bool = False) -> jnp.ndarray:
     """Value-only variant of ``value_and_jac_centered`` (njac=0): skips the
     Jacobian contractions and their backward cotangents — the boundary-loss
     fast path."""
@@ -406,7 +414,8 @@ def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     b = x.shape[0]
     tb = tb or 256
     sparse = os.environ.get("GF_SPARSE", "1") != "0"
-    if sparse:
+    do_sort = sparse and not presorted
+    if do_sort:
         order = jnp.argsort(x[:, 0])
         inv = jnp.argsort(order)
         x = x[order]
@@ -430,7 +439,7 @@ def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     out = fused_gsr_centered(tmask, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
                              float(spec.clamp_threshold), tb, tn, 0)[:b]
     val = out[:, :vdim]
-    return val[inv] if sparse else val
+    return val[inv] if do_sort else val
 
 
 def value_pallas(mix: GaussianMixture, spec: FieldSpec,

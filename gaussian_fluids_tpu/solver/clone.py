@@ -183,7 +183,8 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
 
     def loss_fn(params, alive, stop, x, ref_val, ref_jac):
         frozen = losses.freeze_params(params, stop)
-        val, jac = field.value_and_jac(_mixf(frozen, alive), spec, x)
+        val, jac = field.value_and_jac(_mixf(frozen, alive), spec, x,
+                                       presorted=True)
         l_val = losses.value_loss(val, ref_val)
         l_grad = losses.grad_loss(jac, ref_jac)
         l_aniso = losses.aniso_loss(params["scalings"], alive & ~stop)
@@ -196,8 +197,9 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
         params, opt_state, alive, stop, old_params, old_alive, lo, hi = carry
         x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
             * (hi - lo) + lo
+        x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
         ref_val, ref_jac = field.value_and_jac(
-            _mixf(old_params, old_alive), spec, x)
+            _mixf(old_params, old_alive), spec, x, presorted=True)
         ref_val = jax.lax.stop_gradient(ref_val)
         ref_jac = jax.lax.stop_gradient(ref_jac)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -216,15 +218,15 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
         mix = _mixf(params, alive)
         old_mix = _mixf(old_params, old_alive)
         b = test_x.shape[0]
-        chunk = min(4096, b)
+        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead on TPU
         nchunk = -(-b // chunk)
         xp = jnp.zeros((nchunk * chunk, d), jnp.float32).at[:b].set(test_x)
         valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
 
         def one(args):
             xc, vc = args
-            rv, rj = field.value_and_jac(old_mix, spec, xc)
-            v, j = field.value_and_jac(mix, spec, xc)
+            rv, rj = field.value_and_jac(old_mix, spec, xc, presorted=True)
+            v, j = field.value_and_jac(mix, spec, xc, presorted=True)
             lv = (jnp.abs(v - rv).mean(-1) * vc).sum()
             lg = (jnp.abs(j - rj).mean((-1, -2)) * vc).sum()
             return jnp.stack([lv, lg])
@@ -245,6 +247,8 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
     2D/advance.py:58-158). Returns the new mixture (possibly with more
     Gaussians)."""
     rng = np.random.RandomState(seed)
+    test_x_s = jnp.asarray(test_x)
+    test_x_s = test_x_s[jnp.argsort(test_x_s[:, 0])]  # presorted test chunks
     if d == 2:
         new_mix, stop_np, n_split = split_gaussians_2d(old_mix, spec, rng)
         if lrs is None:
@@ -277,7 +281,7 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
              old_padded.alive, lo_j, hi_j)
 
     def metrics(c):
-        return jax.device_get(test_fn(c[0], c[2], c[4], c[5], test_x))
+        return jax.device_get(test_fn(c[0], c[2], c[4], c[5], test_x_s))
 
     if verbose:
         lv, lg = metrics(carry)

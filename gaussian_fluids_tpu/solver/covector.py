@@ -22,11 +22,13 @@ from gaussian_fluids_tpu.solver import losses
 
 
 def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
-                          x: jnp.ndarray, dt, adv_lo, adv_hi) -> jnp.ndarray:
+                          x: jnp.ndarray, dt, adv_lo, adv_hi,
+                          presorted: bool = False) -> jnp.ndarray:
     """Target vorticity at x (B,) — reference AdvectedCovectorField.vorticity
     with the 'rk4' scheme (2D/advance.py:46-54). adv_lo/adv_hi are the
     *scaled* advance-domain bounds."""
-    bk_x, _, _, dv = rk4_advect(vel_mix, spec, x, -dt, with_deformation=True)
+    bk_x, _, _, dv = rk4_advect(vel_mix, spec, x, -dt, with_deformation=True,
+                                presorted=presorted)
     vor = losses.curl2d(dv)
     lo = jnp.asarray(adv_lo, jnp.float32)
     hi = jnp.asarray(adv_hi, jnp.float32)
@@ -51,10 +53,11 @@ def advected_vorticity_2d_rk1(vel_mix: GaussianMixture, spec: FieldSpec,
 
 
 def advected_vorticity_3d(vel_mix: GaussianMixture, spec: FieldSpec,
-                          x: jnp.ndarray, dt):
+                          x: jnp.ndarray, dt, presorted: bool = False):
     """(vor (B,3), hel (B,)) — reference 3D/advance.py:34-47."""
     bk_x, dpsi, pb_v, pb_dv = rk4_advect(vel_mix, spec, x, -dt,
-                                         with_deformation=True)
+                                         with_deformation=True,
+                                         presorted=presorted)
     pb_vor = losses.curl3d(pb_dv)
     hel = jnp.sum(pb_v * pb_vor, axis=-1)
     vor = jnp.linalg.solve(dpsi, pb_vor[..., None])[..., 0]

@@ -94,11 +94,15 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         lo = jnp.stack([adv[0], adv[2]]) * sf
         hi = jnp.stack([adv[1], adv[3]]) * sf
         data = _uniform_batch(kd, batch_size, lo, hi)
+        # sort once per epoch (losses are batch means): every eval below
+        # skips its internal coordinate sort
+        data = data[jnp.argsort(data[:, 0])]
         ref_vor = jax.lax.stop_gradient(covector.advected_vorticity_2d(
-            old_mix, spec, data, dt, lo, hi))
+            old_mix, spec, data, dt, lo, hi, presorted=True))
 
         def heads(p):
-            _, jac = field.value_and_jac(_mix(p, alive), spec, data)
+            _, jac = field.value_and_jac(_mix(p, alive), spec, data,
+                                         presorted=True)
             l_vor = w.vor * losses.vorticity_loss_2d(jac, ref_vor)
             l_div = w.div * losses.divergence_loss(jac)
             return l_vor, l_div
@@ -116,14 +120,17 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
             bc = jnp.zeros(())
             if boundary_lambda > 0.0 and bs1 is not None:
                 bd, bval = bs1(kb1, batch_size, adv)
+                o = jnp.argsort(bd[:, 0])
                 c1 = losses.boundary_dirichlet_loss(
-                    field.value(m, spec, bd), bval)
+                    field.value(m, spec, bd[o], presorted=True), bval[o])
                 total = total + boundary_lambda * c1
                 bc = bc + c1
             if boundary_lambda > 0.0 and bs2 is not None:
                 bd, bn, bnr = bs2(kb2, batch_size, adv)
+                o = jnp.argsort(bd[:, 0])
                 c2 = losses.boundary_flux_loss(
-                    field.value(m, spec, bd), bn, bnr)
+                    field.value(m, spec, bd[o], presorted=True), bn[o],
+                    bnr[o])
                 total = total + boundary_lambda * c2
                 bc = bc + c2
             return total, bc
@@ -149,15 +156,16 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         lo = jnp.stack([adv[0], adv[2]]) * sf
         hi = jnp.stack([adv[1], adv[3]]) * sf
         b = test_x.shape[0]
-        chunk = min(4096, b)
+        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead on TPU
         nchunk = -(-b // chunk)
         xp = jnp.zeros((nchunk * chunk, 2), jnp.float32).at[:b].set(test_x)
         valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
 
         def one(args):
             xc, vc = args
-            rv = covector.advected_vorticity_2d(old_mix, spec, xc, dt, lo, hi)
-            _, jac = field.value_and_jac(mix, spec, xc)
+            rv = covector.advected_vorticity_2d(old_mix, spec, xc, dt, lo,
+                                                hi, presorted=True)
+            _, jac = field.value_and_jac(mix, spec, xc, presorted=True)
             lv = jnp.abs(losses.curl2d(jac) - rv) * vc
             ld = losses.divergence(jac) ** 2 * vc
             return jnp.stack([lv.sum(), ld.sum(), ld.max()])
@@ -185,6 +193,8 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
     run_chunk, test_fn = _runner_2d(spec, scene.name, weights,
                                     float(boundary_lambda), batch_size)
 
+    test_x = jnp.asarray(test_x)
+    test_x = test_x[jnp.argsort(test_x[:, 0])]   # presorted test chunks
     params = mix.params()
     opt_state = optim.init(params, lrs, patience=50)
     adv = jnp.asarray(adv_domain, jnp.float32)
@@ -247,13 +257,15 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         old_mix = _mix(old_params, old_alive)
         kd, kb = jax.random.split(key)
         data = _uniform_batch(kd, batch_size, lo_j, hi_j)
+        data = data[jnp.argsort(data[:, 0])]   # sort once per epoch
         ref_vor, ref_hel = covector.advected_vorticity_3d(
-            old_mix, spec, data, dt)
+            old_mix, spec, data, dt, presorted=True)
         ref_vor = jax.lax.stop_gradient(ref_vor)
         ref_hel = jax.lax.stop_gradient(ref_hel)
 
         def heads(p):
-            val, jac = field.value_and_jac(_mix(p, alive), spec, data)
+            val, jac = field.value_and_jac(_mix(p, alive), spec, data,
+                                           presorted=True)
             # helicity accumulates into the vorticity PCGrad bucket
             # (reference 3D/GSR.py:508-520)
             l_vorhel = (w.vor * losses.vorticity_loss_3d(jac, ref_vor)
@@ -273,8 +285,9 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
             bc = jnp.zeros(())
             if boundary_lambda > 0.0 and bs_freeslip is not None:
                 bd, bn = bs_freeslip(kb, batch_size)
+                o = jnp.argsort(bd[:, 0])
                 c = losses.boundary_freeslip_loss(
-                    field.value(m, spec, bd), bn)
+                    field.value(m, spec, bd[o], presorted=True), bn[o])
                 total = total + boundary_lambda * c
                 bc = bc + c
             return total, bc
@@ -297,15 +310,16 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         mix = _mix(params, alive)
         old_mix = _mix(old_params, old_alive)
         b = test_x.shape[0]
-        chunk = min(4096, b)
+        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead on TPU
         nchunk = -(-b // chunk)
         xp = jnp.zeros((nchunk * chunk, 3), jnp.float32).at[:b].set(test_x)
         valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
 
         def one(args):
             xc, vc = args
-            rv, rh = covector.advected_vorticity_3d(old_mix, spec, xc, dt)
-            val, jac = field.value_and_jac(mix, spec, xc)
+            rv, rh = covector.advected_vorticity_3d(old_mix, spec, xc, dt,
+                                                    presorted=True)
+            val, jac = field.value_and_jac(mix, spec, xc, presorted=True)
             vor = losses.curl3d(jac)
             lv = jnp.abs(vor - rv).mean(axis=-1) * vc
             lh = jnp.abs(jnp.sum(val * vor, -1) - rh) * vc
@@ -341,6 +355,8 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
         spec, scene_name, weights, float(boundary_lambda), batch_size,
         (x_min, y_min, z_min), (x_max, y_max, z_max))
 
+    test_x = jnp.asarray(test_x)
+    test_x = test_x[jnp.argsort(test_x[:, 0])]   # presorted test chunks
     params = mix.params()
     opt_state = optim.init(params, lrs, patience=50)
     dt_j = jnp.asarray(dt, jnp.float32)
