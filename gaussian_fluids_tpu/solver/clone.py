@@ -213,28 +213,41 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
         keys = jax.random.split(key, n)
         return jax.lax.scan(epoch, carry, keys)
 
-    @jax.jit
-    def test_fn(params, alive, old_params, old_alive, test_x):
-        mix = _mixf(params, alive)
-        old_mix = _mixf(old_params, old_alive)
-        b = test_x.shape[0]
-        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead on TPU
+    def _pad_chunks(test_x, b):
+        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead
         nchunk = -(-b // chunk)
         xp = jnp.zeros((nchunk * chunk, d), jnp.float32).at[:b].set(test_x)
         valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
+        return xp.reshape(nchunk, chunk, d), valid
+
+    @jax.jit
+    def test_ref_fn(old_params, old_alive, test_x):
+        """Old-field (val, jac) targets on the test grid — constant over
+        the whole clone fit, computed once."""
+        old_mix = _mixf(old_params, old_alive)
+        xc, _ = _pad_chunks(test_x, test_x.shape[0])
+        return jax.lax.map(
+            lambda c: field.value_and_jac(old_mix, spec, c, presorted=True),
+            xc)
+
+    @jax.jit
+    def test_fn(params, alive, test_x, test_ref):
+        mix = _mixf(params, alive)
+        rv_all, rj_all = test_ref
+        b = test_x.shape[0]
+        xcs, valid = _pad_chunks(test_x, b)
 
         def one(args):
-            xc, vc = args
-            rv, rj = field.value_and_jac(old_mix, spec, xc, presorted=True)
+            xc, rv, rj, vc = args
             v, j = field.value_and_jac(mix, spec, xc, presorted=True)
             lv = (jnp.abs(v - rv).mean(-1) * vc).sum()
             lg = (jnp.abs(j - rj).mean((-1, -2)) * vc).sum()
             return jnp.stack([lv, lg])
 
-        out = jax.lax.map(one, (xp.reshape(nchunk, chunk, d), valid))
+        out = jax.lax.map(one, (xcs, rv_all, rj_all, valid))
         return out[:, 0].sum() / b, out[:, 1].sum() / b
 
-    return run_chunk, test_fn
+    return run_chunk, test_ref_fn, test_fn
 
 
 def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
@@ -267,7 +280,7 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
     if verbose:
         print(f"[clone] Add {n_split} particles.")
 
-    run_chunk, test_fn = _clone_runner(spec, batch_size)
+    run_chunk, test_ref_fn, test_fn = _clone_runner(spec, batch_size)
 
     # the old field may live in a smaller padding bucket than the split
     # result; repad it to the same capacity so both flow through one jit
@@ -279,9 +292,10 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
     hi_j = jnp.asarray(hi, jnp.float32)
     carry = (params, opt_state, new_mix.alive, stop, old_padded.params(),
              old_padded.alive, lo_j, hi_j)
+    test_ref = test_ref_fn(old_padded.params(), old_padded.alive, test_x_s)
 
     def metrics(c):
-        return jax.device_get(test_fn(c[0], c[2], c[4], c[5], test_x_s))
+        return jax.device_get(test_fn(c[0], c[2], test_x_s, test_ref))
 
     if verbose:
         lv, lg = metrics(carry)

@@ -149,31 +149,42 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         keys = jax.random.split(key, n)
         return jax.lax.scan(epoch, carry, keys)
 
-    @jax.jit
-    def test_fn(params, alive, old_params, old_alive, test_x, adv, dt):
-        mix = _mix(params, alive)
-        old_mix = _mix(old_params, old_alive)
-        lo = jnp.stack([adv[0], adv[2]]) * sf
-        hi = jnp.stack([adv[1], adv[3]]) * sf
-        b = test_x.shape[0]
-        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead on TPU
+    def _pad_chunks(test_x, b):
+        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead
         nchunk = -(-b // chunk)
         xp = jnp.zeros((nchunk * chunk, 2), jnp.float32).at[:b].set(test_x)
         valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
+        return xp.reshape(nchunk, chunk, 2), valid
+
+    @jax.jit
+    def test_ref_fn(old_params, old_alive, test_x, adv, dt):
+        """Backtraced target vorticity on the test grid — constant over the
+        whole projection (old field and grid are fixed), computed once."""
+        old_mix = _mix(old_params, old_alive)
+        lo = jnp.stack([adv[0], adv[2]]) * sf
+        hi = jnp.stack([adv[1], adv[3]]) * sf
+        xc, _ = _pad_chunks(test_x, test_x.shape[0])
+        return jax.lax.map(
+            lambda c: covector.advected_vorticity_2d(
+                old_mix, spec, c, dt, lo, hi, presorted=True), xc)
+
+    @jax.jit
+    def test_fn(params, alive, test_x, ref_vor):
+        mix = _mix(params, alive)
+        b = test_x.shape[0]
+        xcs, valid = _pad_chunks(test_x, b)
 
         def one(args):
-            xc, vc = args
-            rv = covector.advected_vorticity_2d(old_mix, spec, xc, dt, lo,
-                                                hi, presorted=True)
+            xc, rv, vc = args
             _, jac = field.value_and_jac(mix, spec, xc, presorted=True)
             lv = jnp.abs(losses.curl2d(jac) - rv) * vc
             ld = losses.divergence(jac) ** 2 * vc
             return jnp.stack([lv.sum(), ld.sum(), ld.max()])
 
-        out = jax.lax.map(one, (xp.reshape(nchunk, chunk, 2), valid))
+        out = jax.lax.map(one, (xcs, ref_vor, valid))
         return out[:, 0].sum() / b, out[:, 1].sum() / b, out[:, 2].max()
 
-    return run_chunk, test_fn
+    return run_chunk, test_ref_fn, test_fn
 
 
 def project_2d(mix: GaussianMixture, spec: FieldSpec,
@@ -190,8 +201,8 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
         # reference 2D/advance.py:261
         lrs = {"positions": 1e-4, "scalings": 1e-4, "rotations": 1e-4,
                "values": 1e-4}
-    run_chunk, test_fn = _runner_2d(spec, scene.name, weights,
-                                    float(boundary_lambda), batch_size)
+    run_chunk, test_ref_fn, test_fn = _runner_2d(
+        spec, scene.name, weights, float(boundary_lambda), batch_size)
 
     test_x = jnp.asarray(test_x)
     test_x = test_x[jnp.argsort(test_x[:, 0])]   # presorted test chunks
@@ -203,9 +214,11 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
              jax.lax.stop_gradient(mix.positions), old_mix.params(),
              old_mix.alive, adv, dt_j)
 
+    test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, adv,
+                           dt_j)
+
     def metrics(c):
-        return jax.device_get(test_fn(c[0], c[2], c[4], c[5], test_x, adv,
-                                      dt_j))
+        return jax.device_get(test_fn(c[0], c[2], test_x, test_ref))
 
     if verbose:
         lv, ld, ldm = metrics(carry)
@@ -305,20 +318,32 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         keys = jax.random.split(key, n)
         return jax.lax.scan(epoch, carry, keys)
 
-    @jax.jit
-    def test_fn(params, alive, old_params, old_alive, test_x, dt):
-        mix = _mix(params, alive)
-        old_mix = _mix(old_params, old_alive)
-        b = test_x.shape[0]
-        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead on TPU
+    def _pad_chunks(test_x, b):
+        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead
         nchunk = -(-b // chunk)
         xp = jnp.zeros((nchunk * chunk, 3), jnp.float32).at[:b].set(test_x)
         valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
+        return xp.reshape(nchunk, chunk, 3), valid
+
+    @jax.jit
+    def test_ref_fn(old_params, old_alive, test_x, dt):
+        """Backtraced (vorticity, helicity) targets on the test grid —
+        constant over the projection, computed once."""
+        old_mix = _mix(old_params, old_alive)
+        xc, _ = _pad_chunks(test_x, test_x.shape[0])
+        return jax.lax.map(
+            lambda c: covector.advected_vorticity_3d(old_mix, spec, c, dt,
+                                                     presorted=True), xc)
+
+    @jax.jit
+    def test_fn(params, alive, test_x, test_ref):
+        mix = _mix(params, alive)
+        ref_vor, ref_hel = test_ref
+        b = test_x.shape[0]
+        xcs, valid = _pad_chunks(test_x, b)
 
         def one(args):
-            xc, vc = args
-            rv, rh = covector.advected_vorticity_3d(old_mix, spec, xc, dt,
-                                                    presorted=True)
+            xc, rv, rh, vc = args
             val, jac = field.value_and_jac(mix, spec, xc, presorted=True)
             vor = losses.curl3d(jac)
             lv = jnp.abs(vor - rv).mean(axis=-1) * vc
@@ -326,11 +351,11 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
             ld = losses.divergence(jac) ** 2 * vc
             return jnp.stack([lv.sum(), lh.sum(), ld.sum(), ld.max()])
 
-        out = jax.lax.map(one, (xp.reshape(nchunk, chunk, 3), valid))
+        out = jax.lax.map(one, (xcs, ref_vor, ref_hel, valid))
         return (out[:, 0].sum() / b, out[:, 1].sum() / b,
                 out[:, 2].sum() / b, out[:, 3].max())
 
-    return run_chunk, test_fn
+    return run_chunk, test_ref_fn, test_fn
 
 
 def project_3d(mix: GaussianMixture, spec: FieldSpec,
@@ -351,7 +376,7 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
         lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
                "values": 1e-5}
     x_min, x_max, y_min, y_max, z_min, z_max = domain
-    run_chunk, test_fn = _runner_3d(
+    run_chunk, test_ref_fn, test_fn = _runner_3d(
         spec, scene_name, weights, float(boundary_lambda), batch_size,
         (x_min, y_min, z_min), (x_max, y_max, z_max))
 
@@ -363,8 +388,10 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
     carry = (params, opt_state, mix.alive, old_mix.params(), old_mix.alive,
              dt_j)
 
+    test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, dt_j)
+
     def metrics(c):
-        return jax.device_get(test_fn(c[0], c[2], c[3], c[4], test_x, dt_j))
+        return jax.device_get(test_fn(c[0], c[2], test_x, test_ref))
 
     if verbose:
         lv, lh, ld, ldm = metrics(carry)
