@@ -37,7 +37,7 @@ def make_fit_epoch(spec: FieldSpec, ref_val_fn: Callable,
     def loss_fn(params, alive, x, ref_val, ref_jac):
         mix = GaussianMixture(params["positions"], params["scalings"],
                               params["rotations"], params["values"], alive)
-        val, jac = field.value_and_jac(mix, spec, x)
+        val, jac = field.value_and_jac(mix, spec, x, presorted=True)
         l_val = losses.value_loss(val, ref_val)
         l_grad = losses.grad_loss(jac, ref_jac)
         l_aniso = losses.aniso_loss(params["scalings"], alive)
@@ -51,6 +51,7 @@ def make_fit_epoch(spec: FieldSpec, ref_val_fn: Callable,
         params, opt_state, alive = carry
         x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
             * (hi - lo) + lo
+        x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
         ref_val = ref_val_fn(x)
         ref_jac = ref_jac_fn(x)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
