@@ -53,7 +53,7 @@ def build_state():
         0.1 * rng.randn(*params["values"].shape).astype(np.float32))
     mix = mix.with_params(params)
 
-    run_chunk, _ = _runner_2d(spec, "leapfrog", ProjectWeights(),
+    run_chunk, _, _ = _runner_2d(spec, "leapfrog", ProjectWeights(),
                               1.0, BATCH)
     opt_state = optim.init(params, {k: 1e-4 for k in params}, patience=50)
     adv = jnp.asarray(scene.advance_domain, jnp.float32)

@@ -13,12 +13,20 @@ clamp indicator with the reference's dynamic search radius makes the culled
 evaluation *exactly* equal to this dense masked sum, so the dense form is
 both the correctness oracle and a legitimate backend.
 
-TPU mapping: the quadratic form is evaluated as one (B, F) @ (F, N) matmul
-over polynomial features of x — F = d(d+3)/2 + 1 (6 in 2D, 10 in 3D) — and
-the value / Jacobian contractions are (B, N) @ (N, ·) matmuls. Everything
-lands on the MXU; the only O(B*N) temporary is the masked kernel matrix.
+TPU mapping: two backends behind `value` / `value_and_jac` (auto-dispatch
+on B*N, GF_FIELD_BACKEND overrides):
+  * dense — the quadratic form as one (B, F) @ (F, N) matmul over
+    polynomial features of x plus (B, N) @ (N, ·) contractions, all on the
+    MXU; the only O(B*N) temporary is the masked kernel matrix. The
+    correctness oracle and small-problem path.
+  * centered block-sparse Pallas (ops/pallas/gsr_centered.py, see
+    docs/KERNELS.md) — the production path at scale: coordinate-sorted
+    tiles, an exact bbox+support-radius tile mask, cancellation-free VPU
+    quad form, direct Jacobian contraction; the kernel matrix never leaves
+    VMEM.
 Parameter gradients come from JAX AD (deterministic, no atomics — replaces
-the reference's hand-derived scatter kernels, 2D/GSR.py:284-476).
+the reference's hand-derived scatter kernels, 2D/GSR.py:284-476), with a
+flash-style custom VJP on the Pallas path.
 """
 
 from __future__ import annotations
@@ -329,14 +337,16 @@ def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
     bhi = jnp.max(jnp.where(vb, xb, -jnp.inf), axis=1)
     mun = mu_p.reshape(nnt, tn, d)
     dn = dead_n.reshape(nnt, tn, 1)
-    nlo = jnp.min(jnp.where(dn, jnp.inf, mun), axis=1)      # (nnt, d)
-    nhi = jnp.max(jnp.where(dn, -jnp.inf, mun), axis=1)
     r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
          * jnp.exp(-jnp.min(scalings_p, axis=-1)))          # (N,)
-    r = jnp.max(jnp.where(dead_n, 0.0, r).reshape(nnt, tn), axis=1)
+    rr = r.reshape(nnt, tn, 1)
+    # dilate each row by ITS OWN radius before the tile reduce — strictly
+    # tighter than tile-bbox + tile-max-radius
+    nlo = jnp.min(jnp.where(dn, jnp.inf, mun - rr), axis=1)  # (nnt, d)
+    nhi = jnp.max(jnp.where(dn, -jnp.inf, mun + rr), axis=1)
     ok = jnp.all(
-        (bhi[:, None, :] >= nlo[None, :, :] - r[None, :, None])
-        & (blo[:, None, :] <= nhi[None, :, :] + r[None, :, None]), axis=-1)
+        (bhi[:, None, :] >= nlo[None, :, :])
+        & (blo[:, None, :] <= nhi[None, :, :]), axis=-1)
     return ok.astype(jnp.int32)
 
 
@@ -531,15 +541,14 @@ def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
                      axis=0, fill=1.0) > 0.5
     mun = mu_p[:, 0].reshape(nnt, tn)
     dn = dead.reshape(nnt, tn)
-    nlo = jnp.min(jnp.where(dn, jnp.inf, mun), axis=1)
-    nhi = jnp.max(jnp.where(dn, -jnp.inf, mun), axis=1)
     import math
     s_p = _pad_axis(mix.scalings, tn, axis=0)
     r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
-         * jnp.exp(-jnp.min(s_p, axis=-1)))
-    r = jnp.max(jnp.where(dead, 0.0, r).reshape(nnt, tn), axis=1)
-    mask_x = ((bhi[:, None] >= nlo[None, :] - r[None, :])
-              & (blo[:, None] <= nhi[None, :] + r[None, :]))
+         * jnp.exp(-jnp.min(s_p, axis=-1))).reshape(nnt, tn)
+    nlo = jnp.min(jnp.where(dn, jnp.inf, mun - r), axis=1)
+    nhi = jnp.max(jnp.where(dn, -jnp.inf, mun + r), axis=1)
+    mask_x = ((bhi[:, None] >= nlo[None, :])
+              & (blo[:, None] <= nhi[None, :]))
     jlo = jnp.argmax(mask_x, axis=1).astype(jnp.int32)
     jlo = jnp.clip(jlo, 0, nnt - band)
     out = fused_gsr_value_banded(jlo, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
