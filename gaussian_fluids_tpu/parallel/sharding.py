@@ -10,14 +10,17 @@ distribution story replaces that with two mesh axes:
     contractions are (B, N) @ (N, *) sums over N, so sharding the Gaussian
     axis turns them into partial-sum matmuls + psum.
 
-Both are expressed as sharding annotations on a plain ``jax.jit`` — XLA's
-SPMD partitioner inserts the collectives; no hand-written NCCL analog.
+Two step implementations: sharding annotations on a plain ``jax.jit``
+(XLA's SPMD partitioner inserts the collectives — the dense-backend path),
+and a ``shard_map`` variant with explicit psum/pmean collectives that runs
+the fused Pallas kernels per-shard (XLA cannot partition a pallas_call).
+No hand-written NCCL analog anywhere.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

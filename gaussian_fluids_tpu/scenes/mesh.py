@@ -10,7 +10,6 @@ a JAX PRNG key instead of Taichi's unseeded ``ti.random()``.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ import dataclasses
 import math
 from typing import Callable, Dict, Optional, Tuple
 
-import numpy as np
 
 from gaussian_fluids_tpu.scenes import boundaries2d, fields2d
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 Params = Dict[str, jnp.ndarray]
