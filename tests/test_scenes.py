@@ -110,3 +110,28 @@ def test_mesh_obstacle_sampler():
     assert (mesh_pts > 0).all() and (mesh_pts < 1).all()
     np.testing.assert_allclose(np.linalg.norm(np.asarray(n)[64:], axis=-1),
                                1.0, atol=1e-4)
+
+
+def test_karman_moving_domain_hooks():
+    """extra_advect grows the left edge by inflow * dt, capped at the
+    visualization domain (reference 2D/init_cond.py:267-271); resuming at
+    frame k reconstructs the same domain (karman_extra_loader,
+    2D/init_cond.py:284-298)."""
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    sc = get_scene_2d("karman")
+    dt = 0.05
+    adv = sc.advance_domain_at(0, dt)
+    assert adv == tuple(sc.advance_domain)
+    stepped = adv
+    for _ in range(5):
+        stepped = sc.extra_advect(stepped, dt)
+    resumed = sc.advance_domain_at(5, dt)
+    assert np.allclose(stepped, resumed)
+    assert stepped[0] > adv[0]  # left edge advances with the inflow
+    assert stepped[1:] == adv[1:]
+    # cap at the visualization domain
+    far = sc.advance_domain_at(100000, dt)
+    assert far[0] == sc.visualize_domain[0]
+    # non-karman scenes: no-op
+    lf = get_scene_2d("leapfrog")
+    assert lf.extra_advect(lf.advance_domain, dt) == lf.advance_domain
