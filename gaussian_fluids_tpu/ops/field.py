@@ -293,8 +293,7 @@ def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
     rhs = jnp.concatenate([mix.values, vP, vpm], axis=-1)
 
     feat_p = _pad_axis(feat, tb, axis=0)
-    bp = feat_p.shape[0]
-    # N is already bucket-padded to a multiple of 512 >= tn? pad anyway.
+    # N is bucket-padded already; pad to tn regardless.
     W_p = _pad_axis(W, tn, axis=0)
     W_p = W_p.at[mix.capacity:, -1].set(1e9)  # padded rows never fire
     rhs_p = _pad_axis(rhs, tn, axis=0)
