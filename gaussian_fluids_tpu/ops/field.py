@@ -125,14 +125,15 @@ def masked_kernel(mix: GaussianMixture, spec: FieldSpec,
 
 
 def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
-          presorted: bool = False) -> jnp.ndarray:
+          presorted: bool = False, need_dx: bool = True) -> jnp.ndarray:
     """u(x): (B, vdim). Fast-path semantics: sum of v_i (g_i - c) over the
     support (reference 2D/GSR.py:279-281). Dispatches to the fused Pallas
     kernel on TPU (GF_FIELD_BACKEND overrides). ``presorted`` promises x is
     ascending in coordinate 0 (skips the internal sort; an untrue promise
     only loosens tile bounds, never correctness)."""
     if _use_pallas(x.shape[0], mix.capacity):
-        return value_centered(mix, spec, x, presorted=presorted)
+        return value_centered(mix, spec, x, presorted=presorted,
+                              need_dx=need_dx)
     return value_dense(mix, spec, x)
 
 
@@ -144,13 +145,14 @@ def value_dense(mix: GaussianMixture, spec: FieldSpec,
 
 
 def value_and_jac(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
-                  presorted: bool = False
+                  presorted: bool = False, need_dx: bool = True
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(u(x), du/dx): shapes (B, vdim) and (B, vdim, d). Dispatches to the
     fused Pallas kernel on TPU (GF_FIELD_BACKEND overrides). ``presorted``
     as in ``value``."""
     if _use_pallas(x.shape[0], mix.capacity):
-        return value_and_jac_centered(mix, spec, x, presorted=presorted)
+        return value_and_jac_centered(mix, spec, x, presorted=presorted,
+                                      need_dx=need_dx)
     return value_and_jac_dense(mix, spec, x)
 
 
@@ -351,7 +353,8 @@ def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
 
 def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
                            x: jnp.ndarray, tb: int = 0,
-                           tn: int = 512, presorted: bool = False
+                           tn: int = 512, presorted: bool = False,
+                           need_dx: bool = True
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same semantics as ``value_and_jac`` via the centered fused Pallas
     kernel (ops/pallas/gsr_centered.py) — the production TPU path.
@@ -400,7 +403,8 @@ def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
         tmask = jnp.ones((bp // tb, mu_p.shape[0] // tn), jnp.int32)
 
     out = fused_gsr_centered(tmask, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
-                             float(spec.clamp_threshold), tb, tn)[:b]
+                             float(spec.clamp_threshold), tb, tn, -1,
+                             need_dx)[:b]
     val = out[:, :vdim]
     jac = jnp.transpose(out[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
     if do_sort:
@@ -411,7 +415,8 @@ def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
 
 def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
                    tb: int = 0, tn: int = 512,
-                   presorted: bool = False) -> jnp.ndarray:
+                   presorted: bool = False,
+                   need_dx: bool = True) -> jnp.ndarray:
     """Value-only variant of ``value_and_jac_centered`` (njac=0): skips the
     Jacobian contractions and their backward cotangents — the boundary-loss
     fast path."""
@@ -446,7 +451,8 @@ def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     else:
         tmask = jnp.ones((bp // tb, mu_p.shape[0] // tn), jnp.int32)
     out = fused_gsr_centered(tmask, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
-                             float(spec.clamp_threshold), tb, tn, 0)[:b]
+                             float(spec.clamp_threshold), tb, tn, 0,
+                             need_dx)[:b]
     val = out[:, :vdim]
     return val[inv] if do_sort else val
 

@@ -260,12 +260,13 @@ def _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac):
     )(tmask, x, muT, ppT, values)
 
 
-def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac):
+def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac,
+         need_dx=True):
     B = x.shape[0]
     N = muT.shape[1]
     np_ = ppT.shape[0]
     cols = (1 + njac) * vdim
-    dx = pl.pallas_call(
+    dx = None if not need_dx else pl.pallas_call(
         functools.partial(_bwd_dx_kernel, d=d, vdim=vdim, clamp=clamp,
                           nsteps=N // tn, njac=njac),
         grid=(B // tb, N // tn),
@@ -322,34 +323,40 @@ def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac):
                         pltpu.VMEM((tn, vdim), jnp.float32)],
         interpret=_interpret(),
     )(tmask, x, muT, ppT, values, dout)
+    if dx is None:
+        dx = jnp.zeros_like(x)
     return dx, dmu, dpp, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def fused_gsr_centered(tmask, x, muT, ppT, values, d, vdim, clamp,
-                       tb=256, tn=512, njac=-1):
+                       tb=256, tn=512, njac=-1, need_dx=True):
     """(B, (1+d)*vdim) = [val | jac_0 | ... | jac_{d-1}] columns, where
     jac_k[:, a] = d u_a / d x_k (sign included). ``tmask``
     (B//tb, N//tn) i32 marks (query-tile, gaussian-tile) pairs that may
     interact; 0-tiles are skipped entirely (the caller must guarantee
     skipped tiles cannot contribute — see field.value_and_jac_centered).
     ``njac``: how many Jacobian column groups to emit (d, or 0 for
-    value-only; -1 means d)."""
+    value-only; -1 means d). ``need_dx=False`` (static) skips the entire
+    dL/dx backward pass and returns a zero cotangent for x — use when the
+    query points are constants of the loss (every training epoch), saving
+    one of the two B x N backward sweeps."""
     njac = d if njac < 0 else njac
     return _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac)
 
 
-def _fwd_rule(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac=-1):
+def _fwd_rule(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac=-1,
+              need_dx=True):
     njac = d if njac < 0 else njac
     return _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn,
                 njac), (tmask, x, muT, ppT, values)
 
 
-def _bwd_rule(d, vdim, clamp, tb, tn, njac, res, dout):
+def _bwd_rule(d, vdim, clamp, tb, tn, njac, need_dx, res, dout):
     njac = d if njac < 0 else njac
     tmask, x, muT, ppT, values = res
     dx, dmu, dpp, dv = _bwd(tmask, x, muT, ppT, values, dout, d, vdim,
-                            clamp, tb, tn, njac)
+                            clamp, tb, tn, njac, need_dx)
     return jnp.zeros_like(tmask), dx, dmu.T, dpp.T, dv
 
 

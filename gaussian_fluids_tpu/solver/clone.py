@@ -184,7 +184,7 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
     def loss_fn(params, alive, stop, x, ref_val, ref_jac):
         frozen = losses.freeze_params(params, stop)
         val, jac = field.value_and_jac(_mixf(frozen, alive), spec, x,
-                                       presorted=True)
+                                       presorted=True, need_dx=False)
         l_val = losses.value_loss(val, ref_val)
         l_grad = losses.grad_loss(jac, ref_jac)
         l_aniso = losses.aniso_loss(params["scalings"], alive & ~stop)

@@ -37,7 +37,8 @@ def make_fit_epoch(spec: FieldSpec, ref_val_fn: Callable,
     def loss_fn(params, alive, x, ref_val, ref_jac):
         mix = GaussianMixture(params["positions"], params["scalings"],
                               params["rotations"], params["values"], alive)
-        val, jac = field.value_and_jac(mix, spec, x, presorted=True)
+        val, jac = field.value_and_jac(mix, spec, x, presorted=True,
+                                       need_dx=False)
         l_val = losses.value_loss(val, ref_val)
         l_grad = losses.grad_loss(jac, ref_jac)
         l_aniso = losses.aniso_loss(params["scalings"], alive)

@@ -102,7 +102,7 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
 
         def heads(p):
             _, jac = field.value_and_jac(_mix(p, alive), spec, data,
-                                         presorted=True)
+                                         presorted=True, need_dx=False)
             l_vor = w.vor * losses.vorticity_loss_2d(jac, ref_vor)
             l_div = w.div * losses.divergence_loss(jac)
             return l_vor, l_div
@@ -122,15 +122,16 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
                 bd, bval = bs1(kb1, batch_size, adv)
                 o = jnp.argsort(bd[:, 0])
                 c1 = losses.boundary_dirichlet_loss(
-                    field.value(m, spec, bd[o], presorted=True), bval[o])
+                    field.value(m, spec, bd[o], presorted=True,
+                                need_dx=False), bval[o])
                 total = total + boundary_lambda * c1
                 bc = bc + c1
             if boundary_lambda > 0.0 and bs2 is not None:
                 bd, bn, bnr = bs2(kb2, batch_size, adv)
                 o = jnp.argsort(bd[:, 0])
                 c2 = losses.boundary_flux_loss(
-                    field.value(m, spec, bd[o], presorted=True), bn[o],
-                    bnr[o])
+                    field.value(m, spec, bd[o], presorted=True,
+                                need_dx=False), bn[o], bnr[o])
                 total = total + boundary_lambda * c2
                 bc = bc + c2
             return total, bc
@@ -278,7 +279,7 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
 
         def heads(p):
             val, jac = field.value_and_jac(_mix(p, alive), spec, data,
-                                           presorted=True)
+                                           presorted=True, need_dx=False)
             # helicity accumulates into the vorticity PCGrad bucket
             # (reference 3D/GSR.py:508-520)
             l_vorhel = (w.vor * losses.vorticity_loss_3d(jac, ref_vor)
@@ -300,7 +301,8 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
                 bd, bn = bs_freeslip(kb, batch_size)
                 o = jnp.argsort(bd[:, 0])
                 c = losses.boundary_freeslip_loss(
-                    field.value(m, spec, bd[o], presorted=True), bn[o])
+                    field.value(m, spec, bd[o], presorted=True,
+                                need_dx=False), bn[o])
                 total = total + boundary_lambda * c
                 bc = bc + c
             return total, bc

@@ -215,3 +215,20 @@ def test_banded_value_presorted():
     v_d = field.value_dense(mix, spec, jnp.asarray(xs))
     np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_d),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_centered_need_dx_false_param_grads():
+    mix, spec = _mix(80, 3, seed=71)
+    x = jnp.asarray(np.random.RandomState(9).uniform(-4, 4, (64, 3)),
+                    jnp.float32)
+
+    def loss(p, **kw):
+        m = mix.with_params(p)
+        v, j = field.value_and_jac_centered(m, spec, x, tb=64, tn=256, **kw)
+        return jnp.abs(v).mean() + jnp.abs(j).mean()
+
+    g1 = jax.grad(lambda p: loss(p))(mix.params())
+    g2 = jax.grad(lambda p: loss(p, need_dx=False))(mix.params())
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   rtol=1e-6, atol=0, err_msg=k)
