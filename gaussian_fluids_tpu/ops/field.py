@@ -309,7 +309,18 @@ def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
     return val, jac
 
 
-def _packed_precisions(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
+def support_radius(scalings: jnp.ndarray, clamp: float) -> jnp.ndarray:
+    """(N,) support radius: g >= clamp implies |x - mu| <= this — the
+    reference's dynamic search radius sqrt(-2 ln c) e^{-min s}
+    (2D/GSR.py:226). Single source of truth for every culling path (tile
+    mask, banded window, host-side band sizing): they must all agree or
+    the skip guarantee breaks."""
+    import math
+    return (math.sqrt(-2.0 * math.log(clamp))
+            * jnp.exp(-jnp.min(scalings, axis=-1)))
+
+
+def _packed_precisions(mix: GaussianMixture, dead: jnp.ndarray) -> jnp.ndarray:
     """(N, d(d+1)/2 + 1): P diagonal, P off-diagonals (i<j), dead-row bias."""
     d = mix.d
     P = mix.precisions()
@@ -317,7 +328,6 @@ def _packed_precisions(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
     for i in range(d):
         for j in range(i + 1, d):
             cols.append(P[:, i, j])
-    dead = ~in_domain_mask(mix, spec)
     cols.append(jnp.where(dead, 1e9, 0.0))
     return jnp.stack(cols, axis=-1)
 
@@ -329,7 +339,6 @@ def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
     radius. Exact: every Gaussian with g >= clamp lies within its own
     radius of the query, so skipped tiles cannot contribute (the same
     guarantee as the reference's uniform grid, 2D/GSR.py:224-229)."""
-    import math
     d = x_p.shape[1]
     nbt, nnt = x_p.shape[0] // tb, mu_p.shape[0] // tn
     xb = x_p.reshape(nbt, tb, d)
@@ -338,9 +347,8 @@ def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
     bhi = jnp.max(jnp.where(vb, xb, -jnp.inf), axis=1)
     mun = mu_p.reshape(nnt, tn, d)
     dn = dead_n.reshape(nnt, tn, 1)
-    r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
-         * jnp.exp(-jnp.min(scalings_p, axis=-1)))          # (N,)
-    rr = r.reshape(nnt, tn, 1)
+    rr = support_radius(scalings_p,
+                        spec.clamp_threshold).reshape(nnt, tn, 1)
     # dilate each row by ITS OWN radius before the tile reduce — strictly
     # tighter than tile-bbox + tile-max-radius
     nlo = jnp.min(jnp.where(dn, jnp.inf, mun - rr), axis=1)  # (nnt, d)
@@ -349,6 +357,42 @@ def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
         (bhi[:, None, :] >= nlo[None, :, :])
         & (blo[:, None, :] <= nhi[None, :, :]), axis=-1)
     return ok.astype(jnp.int32)
+
+
+def _centered_prep(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
+                   tb: int, tn: int, presorted: bool):
+    """Shared prep for the centered kernel wrappers: optional coordinate
+    sort, padding, packed precisions, tile mask. Returns
+    (x_p, b, inv | None, mu_p, pp_p, v_p, tmask)."""
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    d = mix.d
+    b = x.shape[0]
+    sparse = os.environ.get("GF_SPARSE", "1") != "0"
+    inv = None
+    if sparse and not presorted:
+        order = jnp.argsort(x[:, 0])
+        inv = jnp.argsort(order)
+        x = x[order]
+    dead = ~in_domain_mask(mix, spec)
+    pp = _packed_precisions(mix, dead)
+    x_p = _pad_axis(x, tb, axis=0)
+    bp = x_p.shape[0]
+    mu_p = _pad_axis(mix.positions, tn, axis=0)
+    pp_p = _pad_axis(pp, tn, axis=0)
+    nb = d * (d + 1) // 2
+    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)   # padded rows never fire
+    v_p = _pad_axis(mix.values, tn, axis=0)
+    if sparse:
+        valid_b = jnp.arange(bp) < b
+        dead_n = _pad_axis(dead.astype(jnp.float32), tn, axis=0,
+                           fill=1.0) > 0.5
+        s_p = _pad_axis(mix.scalings, tn, axis=0)
+        tmask = _tile_mask(x_p, valid_b, mu_p, dead_n, s_p, spec, tb, tn)
+    else:
+        tmask = jnp.ones((bp // tb, mu_p.shape[0] // tn), jnp.int32)
+    return x_p, b, inv, mu_p, pp_p, v_p, tmask
 
 
 def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
@@ -366,48 +410,19 @@ def value_and_jac_centered(mix: GaussianMixture, spec: FieldSpec,
     at frame boundaries) the tile mask is a narrow band. Disable with
     GF_SPARSE=0."""
     from gaussian_fluids_tpu.ops.pallas.gsr_centered import fused_gsr_centered
-    if x.ndim != 2 or x.shape[1] != mix.d:
-        raise ValueError(
-            f"query points must have shape (B, {mix.d}); got {x.shape}")
     d, vdim = mix.d, mix.vdim
-    b = x.shape[0]
     # unlike the feature kernel this one keeps ~10 (tb, tn) f32 VPU
     # temporaries live in VMEM; tb=256 x tn=512 uses ~5 MB of the 16 MB
     # scoped limit, tb=1024 overflows it.
     tb = tb or 256
-    sparse = os.environ.get("GF_SPARSE", "1") != "0"
-
-    do_sort = sparse and not presorted
-    if do_sort:
-        order = jnp.argsort(x[:, 0])
-        inv = jnp.argsort(order)
-        x = x[order]
-
-    pp = _packed_precisions(mix, spec)
-    x_p = _pad_axis(x, tb, axis=0)
-    bp = x_p.shape[0]
-    mu_p = _pad_axis(mix.positions, tn, axis=0)
-    pp_p = _pad_axis(pp, tn, axis=0)
-    nb = d * (d + 1) // 2
-    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)   # padded rows never fire
-    v_p = _pad_axis(mix.values, tn, axis=0)
-
-    if sparse:
-        valid_b = jnp.arange(bp) < b
-        dead_n = _pad_axis(
-            (~in_domain_mask(mix, spec)).astype(jnp.float32), tn, axis=0,
-            fill=1.0) > 0.5
-        s_p = _pad_axis(mix.scalings, tn, axis=0)
-        tmask = _tile_mask(x_p, valid_b, mu_p, dead_n, s_p, spec, tb, tn)
-    else:
-        tmask = jnp.ones((bp // tb, mu_p.shape[0] // tn), jnp.int32)
-
+    x_p, b, inv, mu_p, pp_p, v_p, tmask = _centered_prep(
+        mix, spec, x, tb, tn, presorted)
     out = fused_gsr_centered(tmask, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
                              float(spec.clamp_threshold), tb, tn, -1,
                              need_dx)[:b]
     val = out[:, :vdim]
     jac = jnp.transpose(out[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
-    if do_sort:
+    if inv is not None:
         val = val[inv]
         jac = jac[inv]
     return val, jac
@@ -421,40 +436,15 @@ def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     Jacobian contractions and their backward cotangents — the boundary-loss
     fast path."""
     from gaussian_fluids_tpu.ops.pallas.gsr_centered import fused_gsr_centered
-    if x.ndim != 2 or x.shape[1] != mix.d:
-        raise ValueError(
-            f"query points must have shape (B, {mix.d}); got {x.shape}")
     d, vdim = mix.d, mix.vdim
-    b = x.shape[0]
     tb = tb or 256
-    sparse = os.environ.get("GF_SPARSE", "1") != "0"
-    do_sort = sparse and not presorted
-    if do_sort:
-        order = jnp.argsort(x[:, 0])
-        inv = jnp.argsort(order)
-        x = x[order]
-    pp = _packed_precisions(mix, spec)
-    x_p = _pad_axis(x, tb, axis=0)
-    bp = x_p.shape[0]
-    mu_p = _pad_axis(mix.positions, tn, axis=0)
-    pp_p = _pad_axis(pp, tn, axis=0)
-    nb = d * (d + 1) // 2
-    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
-    v_p = _pad_axis(mix.values, tn, axis=0)
-    if sparse:
-        valid_b = jnp.arange(bp) < b
-        dead_n = _pad_axis(
-            (~in_domain_mask(mix, spec)).astype(jnp.float32), tn, axis=0,
-            fill=1.0) > 0.5
-        s_p = _pad_axis(mix.scalings, tn, axis=0)
-        tmask = _tile_mask(x_p, valid_b, mu_p, dead_n, s_p, spec, tb, tn)
-    else:
-        tmask = jnp.ones((bp // tb, mu_p.shape[0] // tn), jnp.int32)
+    x_p, b, inv, mu_p, pp_p, v_p, tmask = _centered_prep(
+        mix, spec, x, tb, tn, presorted)
     out = fused_gsr_centered(tmask, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
                              float(spec.clamp_threshold), tb, tn, 0,
                              need_dx)[:b]
     val = out[:, :vdim]
-    return val[inv] if do_sort else val
+    return val[inv] if inv is not None else val
 
 
 def value_pallas(mix: GaussianMixture, spec: FieldSpec,
@@ -526,7 +516,8 @@ def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
         order = jnp.argsort(x[:, 0])
         inv = jnp.argsort(order)
         xs = x[order]
-    pp = _packed_precisions(mix, spec)
+    dead_rows = ~in_domain_mask(mix, spec)
+    pp = _packed_precisions(mix, dead_rows)
     x_p = _pad_axis(xs, tb, axis=0)
     bp = x_p.shape[0]
     mu_p = _pad_axis(mix.positions, tn, axis=0)
@@ -542,14 +533,12 @@ def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     valid = (jnp.arange(bp) < b).reshape(nbt, tb)
     blo = jnp.min(jnp.where(valid, xb, jnp.inf), axis=1)
     bhi = jnp.max(jnp.where(valid, xb, -jnp.inf), axis=1)
-    dead = _pad_axis((~in_domain_mask(mix, spec)).astype(jnp.float32), tn,
+    dead = _pad_axis(dead_rows.astype(jnp.float32), tn,
                      axis=0, fill=1.0) > 0.5
     mun = mu_p[:, 0].reshape(nnt, tn)
     dn = dead.reshape(nnt, tn)
-    import math
     s_p = _pad_axis(mix.scalings, tn, axis=0)
-    r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
-         * jnp.exp(-jnp.min(s_p, axis=-1))).reshape(nnt, tn)
+    r = support_radius(s_p, spec.clamp_threshold).reshape(nnt, tn)
     nlo = jnp.min(jnp.where(dn, jnp.inf, mun - r), axis=1)
     nhi = jnp.max(jnp.where(dn, -jnp.inf, mun + r), axis=1)
     mask_x = ((bhi[:, None] >= nlo[None, :])

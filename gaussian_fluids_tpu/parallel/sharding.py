@@ -163,9 +163,11 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
     Same semantics as make_sharded_train_step; compatible with the fused
     Pallas backends because each device calls the kernel on its own shard."""
     try:
-        from jax import shard_map  # new API (check_vma kwarg)
+        from jax import shard_map as _sm  # new API (check_vma kwarg)
+        shard_map = functools.partial(_sm, check_vma=False)
     except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = functools.partial(_sm, check_rep=False)
 
     pshard = param_shardings(mesh)
     alive_shard = NamedSharding(mesh, P("gauss"))
@@ -211,8 +213,9 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
         shard_map, mesh=mesh,
         in_specs=(param_specs, opt_specs, P("gauss"), P("batch", None),
                   P("batch", None), P("batch", None, None)),
-        out_specs=(param_specs, opt_specs, P()),
-        check_vma=False)  # pallas_call outputs carry no vma annotation
+        out_specs=(param_specs, opt_specs, P()))
+    # (vma/rep checking disabled above: pallas_call outputs carry no
+    # varying-mesh-axes annotation)
     def step_local(params, opt_state, alive, x, ref_val, ref_jac):
         total, grads = jax.value_and_grad(local_loss)(params, alive, x,
                                                       ref_val, ref_jac)

@@ -28,6 +28,7 @@ from gaussian_fluids_tpu.models.mixture import GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.ops.rotations import precision_matrix
 from gaussian_fluids_tpu.solver import losses, optim
+from gaussian_fluids_tpu.utils.grids import pad_chunks
 
 
 def _repad_like(mix: GaussianMixture, capacity: int,
@@ -214,11 +215,7 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
         return jax.lax.scan(epoch, carry, keys)
 
     def _pad_chunks(test_x, b):
-        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead
-        nchunk = -(-b // chunk)
-        xp = jnp.zeros((nchunk * chunk, d), jnp.float32).at[:b].set(test_x)
-        valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
-        return xp.reshape(nchunk, chunk, d), valid
+        return pad_chunks(test_x, d, b)
 
     @jax.jit
     def test_ref_fn(old_params, old_alive, test_x):

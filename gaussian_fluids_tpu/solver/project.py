@@ -35,6 +35,7 @@ from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import covector, losses, optim
+from gaussian_fluids_tpu.utils.grids import pad_chunks
 
 
 class ProjectWeights(NamedTuple):
@@ -151,11 +152,7 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         return jax.lax.scan(epoch, carry, keys)
 
     def _pad_chunks(test_x, b):
-        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead
-        nchunk = -(-b // chunk)
-        xp = jnp.zeros((nchunk * chunk, 2), jnp.float32).at[:b].set(test_x)
-        valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
-        return xp.reshape(nchunk, chunk, 2), valid
+        return pad_chunks(test_x, 2, b)
 
     @jax.jit
     def test_ref_fn(old_params, old_alive, test_x, adv, dt):
@@ -321,11 +318,7 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         return jax.lax.scan(epoch, carry, keys)
 
     def _pad_chunks(test_x, b):
-        chunk = min(32768, b)  # bigger chunks amortize per-eval overhead
-        nchunk = -(-b // chunk)
-        xp = jnp.zeros((nchunk * chunk, 3), jnp.float32).at[:b].set(test_x)
-        valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
-        return xp.reshape(nchunk, chunk, 3), valid
+        return pad_chunks(test_x, 3, b)
 
     @jax.jit
     def test_ref_fn(old_params, old_alive, test_x, dt):

@@ -178,22 +178,22 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
 
 # ---- offline smoke rendering (reference 3D/advance_density.py) ----
 
-def _suggest_band(mix, spec, dt, tb: int = 1024, tn: int = 512) -> int:
+def _suggest_band(mix, spec, dt, tb: int = 1024, tn: int = 512,
+                  chunk: int = 262144) -> int:
     """Host-side static band width for field.value_banded: the widest
     x-window of Gaussian tiles any query tile can overlap, with a drift
     margin covering the RK4 stage excursions. Bucketed to multiples of 8 so
-    recompiles are rare."""
-    import math
+    recompiles are rare. ``tb``/``tn``/``chunk`` must match the values the
+    banded evaluation is called with."""
     from gaussian_fluids_tpu.ops import field as field_ops
     mu = np.asarray(mix.positions)
     dead = ~np.asarray(field_ops.in_domain_mask(mix, spec))
-    s = np.asarray(mix.scalings)
     cap = mix.capacity
     pad = (-cap) % tn
     mu0 = np.concatenate([mu[:, 0], np.zeros(pad, np.float32)])
     deadp = np.concatenate([dead, np.ones(pad, bool)])
-    r = (math.sqrt(-2.0 * math.log(spec.clamp_threshold))
-         * np.exp(-s.min(-1)))
+    r = np.asarray(field_ops.support_radius(mix.scalings,
+                                            spec.clamp_threshold))
     rp = np.concatenate([r, np.zeros(pad, np.float32)])
     nnt = (cap + pad) // tn
     mu0 = mu0.reshape(nnt, tn)
@@ -204,9 +204,10 @@ def _suggest_band(mix, spec, dt, tb: int = 1024, tn: int = 512) -> int:
     L = max(spec.hi[i] - spec.lo[i] for i in range(spec.d))
     # query tile x-width: a tile of tb of a `chunk`-point coordinate-sorted
     # batch spans ~tb/chunk of the domain for near-uniform points; allow 4x
-    # non-uniformity slop. Drift margin covers RK4 stage excursions.
+    # non-uniformity slop. The drift margin covers RK4 stage excursions for
+    # the O(1)-velocity flows of this framework (|u| dt << 0.05 L).
     margin = 0.05 * L + 2.0 * abs(float(dt))
-    wB = min(L, 4.0 * L * 1024.0 / 262144.0) + margin
+    wB = min(L, 4.0 * L * tb / chunk) + margin
     # widest window: for every possible query interval [a, a+wB], count
     # overlapping tiles; scan tile edges as candidate interval starts
     starts = np.concatenate([nlo, nhi]) - wB
@@ -232,7 +233,6 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
     Gaussian tiles; the (B, N) kernel matrix never materializes); the
     gather-based culled path stays for CPU, where Pallas interpret mode is
     slow."""
-    from gaussian_fluids_tpu.ops import field as field_ops
     from gaussian_fluids_tpu.ops import grid as grid_ops
     from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
     xn, yn, zn = grid_shape
@@ -240,10 +240,10 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
     lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
     hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
     use_pallas = jax.default_backend() in ("tpu", "axon")
+    args = (mix.params(), mix.alive)
     if use_pallas:
-        band = _suggest_band(mix, spec, dt)
+        band = _suggest_band(mix, spec, dt, chunk=chunk)
         step_chunk = _density_step_pallas(spec, tuple(domain), band)
-        args = (mix.params(), mix.alive)
     else:
         capacity = grid_ops.suggest_capacity(mix, spec)
         cell_grid = grid_ops.build_grid(mix, spec, capacity)
@@ -256,7 +256,6 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
             bk = rk4_advect_culled(m, spec, xc, -dtj, cell_grid)
             bk = jnp.clip(bk, lo, hi)
             return interp.trilinear_interp(dens, bk, domain)
-        args = (mix.params(), mix.alive)
 
     dtj = jnp.asarray(dt, jnp.float32)
     out = np.empty((pts.shape[0],), np.float32)
@@ -330,7 +329,6 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
     """Multi-frame re-trace variant (reference 3D/advance_density.py:61-71,
     unused by default): walk grid points back through all n saved velocity
     checkpoints, then sample the INITIAL density once."""
-    from gaussian_fluids_tpu.ops import field as field_ops
     from gaussian_fluids_tpu.ops import grid as grid_ops
     from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
     xn, yn, zn = grid_shape
@@ -346,7 +344,7 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
             os.path.join(out_dir, f"gaussian_velocity_{i}.pt"))
         dtj = jnp.asarray(dt, jnp.float32)
         if use_pallas:
-            band = _suggest_band(mix, spec, dt)
+            band = _suggest_band(mix, spec, dt, chunk=chunk)
             bt_c = _backtrace_step_pallas(spec, band)
             bt = lambda xc: bt_c(mix.params(), mix.alive, xc, dtj)
         else:

@@ -25,3 +25,21 @@ def grid_points_3d(x_min, x_max, y_min, y_max, z_min, z_max,
     zs = np.linspace(z_min, z_max, z_n, dtype=np.float32)
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     return np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+
+def pad_chunks(x, d: int, b: int, chunk: int = 0):
+    """Split (b, d) points into fixed-shape chunks for jitted lax.map
+    sweeps: returns ((nchunk, chunk, d) points, (nchunk, chunk) validity
+    weights). The default chunk adapts to the backend — big chunks amortize
+    per-eval overhead on TPU, but on the dense (CPU / GF_FIELD_BACKEND=
+    dense) path each chunk materializes a (chunk, N) kernel matrix, so stay
+    small there."""
+    import jax
+    import jax.numpy as jnp
+    if chunk == 0:
+        chunk = 32768 if jax.default_backend() in ("tpu", "axon") else 4096
+    chunk = min(chunk, b)
+    nchunk = -(-b // chunk)
+    xp = jnp.zeros((nchunk * chunk, d), jnp.float32).at[:b].set(x)
+    valid = (jnp.arange(nchunk * chunk) < b).reshape(nchunk, chunk) * 1.0
+    return xp.reshape(nchunk, chunk, d), valid
