@@ -67,3 +67,26 @@ def test_advance_two_frames(tg_run):
     err = float(jnp.abs(v - ref).mean())
     scale = float(jnp.abs(ref).mean())
     assert err < scale, (err, scale)
+
+
+def test_rk1_backtrace_covector_scheme():
+    """The reference's alternative 'rk1-backtrace' scheme
+    (2D/advance.py:34-44, unused by default) must agree with RK4 to first
+    order for small dt."""
+    import jax.numpy as jnp
+    from gaussian_fluids_tpu import FieldSpec, GaussianMixture
+    from gaussian_fluids_tpu.solver import covector
+
+    rng = np.random.RandomState(11)
+    spec = FieldSpec.create((-5, -5), (5, 5), 80, d=2, vdim=2)
+    mix = GaussianMixture.create(rng.uniform(-4, 4, (80, 2)), spec)
+    mix = GaussianMixture(mix.positions, mix.scalings, mix.rotations,
+                          jnp.asarray(rng.randn(*mix.values.shape) * 0.3
+                                      * np.asarray(mix.alive)[:, None],
+                                      jnp.float32), mix.alive)
+    x = jnp.asarray(rng.uniform(-3, 3, (64, 2)), jnp.float32)
+    lo, hi = jnp.asarray([-5., -5.]), jnp.asarray([5., 5.])
+    dt = 1e-3
+    v4 = covector.advected_vorticity_2d(mix, spec, x, dt, lo, hi)
+    v1 = covector.advected_vorticity_2d_rk1(mix, spec, x, dt, lo, hi)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v4), atol=1e-3)
