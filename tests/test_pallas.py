@@ -232,3 +232,43 @@ def test_centered_need_dx_false_param_grads():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
                                    rtol=1e-6, atol=0, err_msg=k)
+
+
+@pytest.mark.parametrize("sparse", ["0", "1"])
+@pytest.mark.parametrize("presorted", [False, True])
+def test_centered_env_matrix(monkeypatch, sparse, presorted):
+    """All (GF_SPARSE, presorted) combinations agree with the dense path.
+    presorted=True on unsorted input must still be CORRECT (it is only a
+    tile-tightness hint)."""
+    monkeypatch.setenv("GF_SPARSE", sparse)
+    mix, spec = _mix(90, 2, seed=83)
+    x = jnp.asarray(np.random.RandomState(4).uniform(-4, 4, (48, 2)),
+                    jnp.float32)
+    if presorted:
+        x = x[jnp.argsort(x[:, 0])]
+    v_d, j_d = field.value_and_jac_dense(mix, spec, x)
+    v_c, j_c = field.value_and_jac_centered(mix, spec, x, tb=64, tn=256,
+                                            presorted=presorted)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
+                               rtol=1e-3, atol=1e-5)
+    v_o = field.value_centered(mix, spec, x, tb=64, tn=256,
+                               presorted=presorted)
+    np.testing.assert_allclose(np.asarray(v_o), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_centered_presorted_lie_is_still_correct():
+    """An untrue presorted promise loosens tile bounds but never drops a
+    contributing pair (the mask uses actual tile extents)."""
+    mix, spec = _mix(80, 3, seed=91)
+    x = jnp.asarray(np.random.RandomState(6).uniform(-4, 4, (40, 3)),
+                    jnp.float32)  # NOT sorted
+    v_d, j_d = field.value_and_jac_dense(mix, spec, x)
+    v_c, j_c = field.value_and_jac_centered(mix, spec, x, tb=64, tn=256,
+                                            presorted=True)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
+                               rtol=1e-3, atol=1e-5)
