@@ -94,11 +94,19 @@ class GaussianMixture:
 
     @staticmethod
     def from_arrays(positions, scalings, rotations, values,
-                    spec: FieldSpec, pad: bool = True) -> "GaussianMixture":
-        """Wrap existing (unpadded) parameter arrays, re-padding to a bucket."""
+                    spec: FieldSpec, pad: bool = True,
+                    min_capacity: int = 0) -> "GaussianMixture":
+        """Wrap existing (unpadded) parameter arrays, re-padding to a bucket.
+
+        ``min_capacity`` keeps a previous (larger) padding bucket when N
+        shrinks — capacity hysteresis. Re-bucketing downward recompiles
+        every jitted phase (tens of seconds each on the tunneled TPU
+        runtime), and scenes like Karman lose a few Gaussians per frame to
+        the moving domain, which would otherwise cross a bucket boundary
+        every couple of frames."""
         positions = jnp.asarray(positions, jnp.float32)
         n, d = positions.shape
-        cap = _bucket(n) if pad else n
+        cap = max(_bucket(n), min_capacity) if pad else n
         def _pad(a, fill=0.0):
             a = jnp.asarray(a, jnp.float32)
             out = jnp.full((cap,) + a.shape[1:], fill, jnp.float32)

@@ -37,7 +37,7 @@ def advect_covector_field_2d(mix: GaussianMixture, spec: FieldSpec,
     return GaussianMixture.from_arrays(
         pos[valid], np.asarray(mix.scalings)[valid],
         np.asarray(mix.rotations)[valid], np.asarray(mix.values)[valid],
-        spec).spatially_sorted()
+        spec, min_capacity=mix.capacity).spatially_sorted()
 
 
 def advect_covector_field_3d(mix: GaussianMixture,

@@ -83,7 +83,8 @@ def split_gaussians_2d(mix: GaussianMixture, spec: FieldSpec,
     n_split = int(need.sum())
     if n_split == 0:
         stop = np.ones((pos.shape[0],), bool)
-        return GaussianMixture.from_arrays(pos, sca, rot, val, spec), stop, 0
+        return (GaussianMixture.from_arrays(
+            pos, sca, rot, val, spec, min_capacity=mix.capacity), stop, 0)
 
     prec = np.asarray(precision_matrix(jnp.asarray(sca[need]),
                                        jnp.asarray(rot[need]), 2))
@@ -105,7 +106,8 @@ def split_gaussians_2d(mix: GaussianMixture, spec: FieldSpec,
     order = np.argsort(new_pos[:, 0], kind="stable")
     return (GaussianMixture.from_arrays(new_pos[order], new_sca[order],
                                         new_rot[order], new_val[order],
-                                        spec), stop[order], n_split)
+                                        spec, min_capacity=mix.capacity),
+            stop[order], n_split)
 
 
 def split_gaussians_3d(mix: GaussianMixture, spec: FieldSpec,
@@ -152,8 +154,9 @@ def split_gaussians_3d(mix: GaussianMixture, spec: FieldSpec,
     # coordinate-0 sort for the block-sparse backend; stop stays aligned
     order = np.argsort(pos[:, 0], kind="stable")
     return (GaussianMixture.from_arrays(pos[order], sca[order], rot[order],
-                                        val[order], spec), stop[order],
-            total_split)
+                                        val[order], spec,
+                                        min_capacity=mix.capacity),
+            stop[order], total_split)
 
 
 def _unfreeze_neighbors(mix: GaussianMixture, spec: FieldSpec,
