@@ -29,6 +29,8 @@ def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     ``with_deformation`` — matching the reference's
     ``pos_only=False`` outputs (goal_pos, deformation, goal_val, goal_grad).
     """
+    if not with_deformation:
+        return rk4_advect_pos(mix, spec, x, dt, presorted=presorted)
     f = lambda p: field.value_and_jac(mix, spec, p, presorted=presorted)
     v, dv = f(x)
     phi1 = x + dt * 0.5 * v
@@ -38,8 +40,6 @@ def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     phi3 = x + dt * v2
     v3, dv3 = f(phi3)
     phi = x + dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
-    if not with_deformation:
-        return phi
 
     eye = jnp.eye(mix.d, dtype=x.dtype)[None]
     mm = lambda a, b: jnp.einsum("bij,bjk->bik", a, b)
@@ -51,6 +51,20 @@ def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     dphi = eye + dt / 6.0 * (dv + 2.0 * dv1x + 2.0 * dv2x + mm(dv3, dphi3))
     v_phi, dv_phi = f(phi)
     return phi, dphi, v_phi, dv_phi
+
+
+def rk4_advect_pos(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
+                   dt, presorted: bool = False) -> jnp.ndarray:
+    """Position-only RK4 (reference ``pos_only=True``, 2D/GSR.py:560-564):
+    every stage needs only the velocity, so the Jacobian contractions are
+    skipped entirely (value-only kernel mode on the Pallas path)."""
+    f = lambda p: field.value(mix, spec, p, presorted=presorted,
+                              need_dx=False)
+    v = f(x)
+    v1 = f(x + dt * 0.5 * v)
+    v2 = f(x + dt * 0.5 * v1)
+    v3 = f(x + dt * v2)
+    return x + dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
 
 
 def rk4_advect_culled(mix, spec, x, dt, grid):

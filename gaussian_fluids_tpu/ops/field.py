@@ -477,6 +477,87 @@ def value_pallas(mix: GaussianMixture, spec: FieldSpec,
     return out[:, :vdim]
 
 
+def two_head_grads_centered(params, alive, spec: FieldSpec, x: jnp.ndarray,
+                            head1, head2, tb: int = 256, tn: int = 512):
+    """((l1, l2), (g1, g2)): two scalar heads of (val, jac) and their
+    parameter gradients, sharing ONE forward and ONE dual-cotangent backward
+    kernel sweep.
+
+    The PCGrad conflict projection (reference 2D/advance.py:188-193) needs
+    the vorticity-head and divergence-head gradients separately; two
+    ``jax.vjp`` pullbacks through the Pallas kernel would recompute the tile
+    quantities twice. Here the (val, jac)-level cotangents of each head are
+    pulled back together by ``fused_gsr_centered_bwd2``, then through the
+    cheap O(N) prep (precisions/padding) per head.
+
+    ``x`` must be presorted ascending in coordinate 0 (training epochs sort
+    once per batch). ``head{1,2}(val, jac) -> scalar``; gradients w.r.t.
+    ``x`` are not produced (x is a constant of the loss in every epoch)."""
+    from gaussian_fluids_tpu.ops.pallas.gsr_centered import (
+        _fwd, fused_gsr_centered_bwd2)
+    d, vdim = spec.d, spec.vdim
+    b = x.shape[0]
+    clamp = float(spec.clamp_threshold)
+    mix_sg = GaussianMixture(*[jax.lax.stop_gradient(params[k]) for k in
+                               ("positions", "scalings", "rotations",
+                                "values")], alive)
+    x_p, _, _, _, _, _, tmask = _centered_prep(mix_sg, spec, x, tb, tn,
+                                               presorted=True)
+
+    def prep(p):
+        mix = GaussianMixture(p["positions"], p["scalings"],
+                              p["rotations"], p["values"], alive)
+        dead = ~in_domain_mask(mix, spec)
+        pp = _packed_precisions(mix, dead)
+        mu_p = _pad_axis(mix.positions, tn, axis=0)
+        pp_p = _pad_axis(pp, tn, axis=0)
+        nb = d * (d + 1) // 2
+        pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
+        v_p = _pad_axis(mix.values, tn, axis=0)
+        return mu_p.T, pp_p.T, v_p
+
+    (muT, ppT, v_p), prep_vjp = jax.vjp(prep, params)
+    out = _fwd(tmask, x_p, muT, ppT, v_p, d, vdim, clamp, tb, tn, d)[:b]
+
+    def head_on_out(head, o):
+        val = o[:, :vdim]
+        jac = jnp.transpose(o[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
+        return head(val, jac)
+
+    one = jnp.ones(())
+    l1, h1_vjp = jax.vjp(functools.partial(head_on_out, head1), out)
+    l2, h2_vjp = jax.vjp(functools.partial(head_on_out, head2), out)
+    dout1 = _pad_axis(h1_vjp(one)[0], tb, axis=0)
+    dout2 = _pad_axis(h2_vjp(one)[0], tb, axis=0)
+    (dmu1, dpp1, dv1), (dmu2, dpp2, dv2) = fused_gsr_centered_bwd2(
+        tmask, x_p, muT, ppT, v_p, dout1, dout2, d, vdim, clamp, tb, tn)
+    g1 = prep_vjp((dmu1.T, dpp1.T, dv1))[0]
+    g2 = prep_vjp((dmu2.T, dpp2.T, dv2))[0]
+    return (l1, l2), (g1, g2)
+
+
+def two_head_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
+                   head1, head2, presorted: bool = True):
+    """Backend-dispatching version of :func:`two_head_grads_centered`:
+    falls back to two jax.vjp pullbacks on the dense path (small problems /
+    CPU), where the shared-recompute saving does not apply."""
+    cap = params["positions"].shape[0]
+    if _use_pallas(x.shape[0], cap):
+        return two_head_grads_centered(params, alive, spec, x, head1, head2)
+
+    def heads(p):
+        mix = GaussianMixture(p["positions"], p["scalings"],
+                              p["rotations"], p["values"], alive)
+        val, jac = value_and_jac(mix, spec, x, presorted=presorted,
+                                 need_dx=False)
+        return head1(val, jac), head2(val, jac)
+
+    (l1, l2), vjp = jax.vjp(heads, params)
+    g1 = vjp((jnp.ones(()), jnp.zeros(())))[0]
+    g2 = vjp((jnp.zeros(()), jnp.ones(())))[0]
+    return (l1, l2), (g1, g2)
+
+
 # ---- dense reference (oracle) path, no clamp subtraction ----
 
 def value_dense_oracle(mix: GaussianMixture, spec: FieldSpec,

@@ -168,6 +168,47 @@ def _bwd_dx_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
         dx_ref[:] = acc_ref[:]
 
 
+def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
+                   dmu_acc, dpp_acc, dv_acc):
+    """Accumulate (dmu, dPp, dv) for one cotangent block into the scratch
+    accumulators, given the shared tile quantities."""
+    gquad, gpd, mg = _bwd_cotangents(g, m, pd, dout, v, njac, vdim)
+    mgv = jnp.where(m, g - clamp, 0.0)
+
+    # dv: mgv^T @ dval - sum_k (mg Pd_k)^T @ djac_k
+    dv = _DOT(mgv, dout[:, :vdim], (((0,), (0,)), ((), ())))
+    for k in range(njac):
+        dv += _DOT(-mg * pd[k],
+                   dout[:, (1 + k) * vdim:(2 + k) * vdim],
+                   (((0,), (0,)), ((), ())))
+    dv_acc[:] += dv
+
+    # dmu_j = -(dL/dx_j summed over the tile's queries), per n
+    for jdim in range(d):
+        t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
+        dmu_acc[:, jdim:jdim + 1] += -jnp.sum(t, axis=0,
+                                              keepdims=True).T
+
+    # dPp: diagonal d(quad)/dP_ii = delta_i^2, d(Pd_i)/dP_ii = delta_i;
+    # off-diag (i<j): d(quad)/dP_ij = 2 delta_i delta_j,
+    # d(Pd_i)/dP_ij = delta_j, d(Pd_j)/dP_ij = delta_i; bias: d(quad)=1.
+    for k in range(d):
+        t = gquad * delta[k] * delta[k]
+        if k < njac:
+            t += gpd[k] * delta[k]
+        dpp_acc[:, k:k + 1] += jnp.sum(t, axis=0, keepdims=True).T
+    for c, (ii, jj) in enumerate(_off_pairs(d)):
+        t = 2.0 * gquad * delta[ii] * delta[jj]
+        if ii < njac:
+            t += gpd[ii] * delta[jj]
+        if jj < njac:
+            t += gpd[jj] * delta[ii]
+        dpp_acc[:, d + c:d + c + 1] += jnp.sum(t, axis=0,
+                                               keepdims=True).T
+    nb = d * (d + 1) // 2
+    dpp_acc[:, nb:nb + 1] += jnp.sum(gquad, axis=0, keepdims=True).T
+
+
 def _bwd_dn_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
                    dmu_ref, dpp_ref, dv_ref, dmu_acc, dpp_acc, dv_acc, *,
                    d, vdim, clamp, nsteps, njac):
@@ -184,49 +225,53 @@ def _bwd_dn_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
         ppT = ppT_ref[:]
         delta, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d,
                                            clamp)
-        dout = dout_ref[:]
-        v = v_ref[:]
-        gquad, gpd, mg = _bwd_cotangents(g, m, pd, dout, v, njac, vdim)
-        mgv = jnp.where(m, g - clamp, 0.0)
-
-        # dv: mgv^T @ dval - sum_k (mg Pd_k)^T @ djac_k
-        dv = _DOT(mgv, dout[:, :vdim], (((0,), (0,)), ((), ())))
-        for k in range(njac):
-            dv += _DOT(-mg * pd[k],
-                       dout[:, (1 + k) * vdim:(2 + k) * vdim],
-                       (((0,), (0,)), ((), ())))
-        dv_acc[:] += dv
-
-        # dmu_j = -(dL/dx_j summed over the tile's queries), per n
-        for jdim in range(d):
-            t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
-            dmu_acc[:, jdim:jdim + 1] += -jnp.sum(t, axis=0,
-                                                  keepdims=True).T
-
-        # dPp: diagonal d(quad)/dP_ii = delta_i^2, d(Pd_i)/dP_ii = delta_i;
-        # off-diag (i<j): d(quad)/dP_ij = 2 delta_i delta_j,
-        # d(Pd_i)/dP_ij = delta_j, d(Pd_j)/dP_ij = delta_i; bias: d(quad)=1.
-        for k in range(d):
-            t = gquad * delta[k] * delta[k]
-            if k < njac:
-                t += gpd[k] * delta[k]
-            dpp_acc[:, k:k + 1] += jnp.sum(t, axis=0, keepdims=True).T
-        for c, (ii, jj) in enumerate(_off_pairs(d)):
-            t = 2.0 * gquad * delta[ii] * delta[jj]
-            if ii < njac:
-                t += gpd[ii] * delta[jj]
-            if jj < njac:
-                t += gpd[jj] * delta[ii]
-            dpp_acc[:, d + c:d + c + 1] += jnp.sum(t, axis=0,
-                                                   keepdims=True).T
-        nb = d * (d + 1) // 2
-        dpp_acc[:, nb:nb + 1] += jnp.sum(gquad, axis=0, keepdims=True).T
+        _dn_accumulate(delta, g, m, pd, ppT, dout_ref[:], v_ref[:], d, vdim,
+                       clamp, njac, dmu_acc, dpp_acc, dv_acc)
 
     @pl.when(i == nsteps - 1)
     def _():
         dmu_ref[:] = dmu_acc[:]
         dpp_ref[:] = dpp_acc[:]
         dv_ref[:] = dv_acc[:]
+
+
+def _bwd_dn2_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
+                    dout2_ref, dmu1_ref, dpp1_ref, dv1_ref, dmu2_ref,
+                    dpp2_ref, dv2_ref, dmu1_acc, dpp1_acc, dv1_acc,
+                    dmu2_acc, dpp2_acc, dv2_acc, *, d, vdim, clamp, nsteps,
+                    njac):
+    """Dual-cotangent (dmu, dPp, dv) backward: the PCGrad projection needs
+    the vorticity-head and divergence-head parameter gradients SEPARATELY
+    (reference 2D/advance.py:188-193); two jax.vjp pullbacks would recompute
+    delta/g/Pd tile quantities twice. This kernel shares one recompute
+    between both cotangent blocks."""
+    jn, i = pl.program_id(0), pl.program_id(1)  # B is the reduction axis
+
+    @pl.when(i == 0)
+    def _():
+        for acc in (dmu1_acc, dpp1_acc, dv1_acc, dmu2_acc, dpp2_acc,
+                    dv2_acc):
+            acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(tmask_ref[i, jn] != 0)
+    def _():
+        ppT = ppT_ref[:]
+        delta, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d,
+                                           clamp)
+        v = v_ref[:]
+        _dn_accumulate(delta, g, m, pd, ppT, dout1_ref[:], v, d, vdim,
+                       clamp, njac, dmu1_acc, dpp1_acc, dv1_acc)
+        _dn_accumulate(delta, g, m, pd, ppT, dout2_ref[:], v, d, vdim,
+                       clamp, njac, dmu2_acc, dpp2_acc, dv2_acc)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        dmu1_ref[:] = dmu1_acc[:]
+        dpp1_ref[:] = dpp1_acc[:]
+        dv1_ref[:] = dv1_acc[:]
+        dmu2_ref[:] = dmu2_acc[:]
+        dpp2_ref[:] = dpp2_acc[:]
+        dv2_ref[:] = dv2_acc[:]
 
 
 def _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac):
@@ -326,6 +371,53 @@ def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac,
     if dx is None:
         dx = jnp.zeros_like(x)
     return dx, dmu, dpp, dv
+
+
+def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
+                            d, vdim, clamp, tb, tn, njac=-1):
+    """Parameter cotangents for TWO output cotangent blocks in ONE B-sweep
+    (shared tile recompute). Returns ((dmu1, dpp1, dv1), (dmu2, dpp2, dv2))
+    with dmu (N, d), dpp (N, np), dv (N, vdim) — NOT transposed (callers
+    pulling back through the transposed layout must .T themselves). No dx
+    (training epochs treat x as a constant of the loss)."""
+    njac = d if njac < 0 else njac
+    B = x.shape[0]
+    N = muT.shape[1]
+    np_ = ppT.shape[0]
+    cols = (1 + njac) * vdim
+    assert dout1.shape == (B, cols) and dout2.shape == (B, cols), (
+        dout1.shape, dout2.shape, B, cols)
+    out = pl.pallas_call(
+        functools.partial(_bwd_dn2_kernel, d=d, vdim=vdim, clamp=clamp,
+                          nsteps=B // tb, njac=njac),
+        grid=(N // tn, B // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, vdim), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, cols), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, cols), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((tn, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM)
+            for w in (d, np_, vdim, d, np_, vdim)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, w), jnp.float32)
+            for w in (d, np_, vdim, d, np_, vdim)),
+        scratch_shapes=[pltpu.VMEM((tn, w), jnp.float32)
+                        for w in (d, np_, vdim, d, np_, vdim)],
+        interpret=_interpret(),
+    )(tmask, x, muT, ppT, values, dout1, dout2)
+    return out[:3], out[3:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))

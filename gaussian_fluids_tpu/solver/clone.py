@@ -201,7 +201,9 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
         params, opt_state, alive, stop, old_params, old_alive, lo, hi = carry
         x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
             * (hi - lo) + lo
-        x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
+        if field._use_pallas(batch_size, params["positions"].shape[0]):
+            x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
+            # (dense backend ignores the hint — skip the pure-overhead sort)
         ref_val, ref_jac = field.value_and_jac(
             _mixf(old_params, old_alive), spec, x, presorted=True)
         ref_val = jax.lax.stop_gradient(ref_val)

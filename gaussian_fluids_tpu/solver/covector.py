@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
-from gaussian_fluids_tpu.ops.advect import rk4_advect
+from gaussian_fluids_tpu.ops.advect import rk4_advect, rk4_advect_pos
 from gaussian_fluids_tpu.solver import losses
 
 
@@ -27,8 +27,10 @@ def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
     """Target vorticity at x (B,) — reference AdvectedCovectorField.vorticity
     with the 'rk4' scheme (2D/advance.py:46-54). adv_lo/adv_hi are the
     *scaled* advance-domain bounds."""
-    bk_x, _, _, dv = rk4_advect(vel_mix, spec, x, -dt, with_deformation=True,
-                                presorted=presorted)
+    bk_x = rk4_advect_pos(vel_mix, spec, x, -dt, presorted=presorted)
+    from gaussian_fluids_tpu.ops import field
+    _, dv = field.value_and_jac(vel_mix, spec, bk_x, presorted=presorted,
+                                need_dx=False)
     vor = losses.curl2d(dv)
     lo = jnp.asarray(adv_lo, jnp.float32)
     hi = jnp.asarray(adv_hi, jnp.float32)

@@ -52,7 +52,9 @@ def make_fit_epoch(spec: FieldSpec, ref_val_fn: Callable,
         params, opt_state, alive = carry
         x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
             * (hi - lo) + lo
-        x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
+        if field._use_pallas(batch_size, params["positions"].shape[0]):
+            x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
+            # (dense backend ignores the hint — skip the pure-overhead sort)
         ref_val = ref_val_fn(x)
         ref_jac = ref_jac_fn(x)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

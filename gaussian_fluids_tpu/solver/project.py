@@ -17,8 +17,9 @@ The jitted chunk runners are cached per static configuration and take the
 exactly once per bucket size instead of once per frame.
 
 The reference computes the vor/div gradients in one kernel pass into
-separate buffers (2D/GSR.py:365-476); here ``jax.vjp`` with two cotangents
-shares the forward the same way.
+separate buffers (2D/GSR.py:365-476); here ``field.two_head_grads`` shares
+one forward and (on the Pallas path) one dual-cotangent backward sweep the
+same way.
 """
 
 from __future__ import annotations
@@ -96,21 +97,24 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         hi = jnp.stack([adv[1], adv[3]]) * sf
         data = _uniform_batch(kd, batch_size, lo, hi)
         # sort once per epoch (losses are batch means): every eval below
-        # skips its internal coordinate sort
-        data = data[jnp.argsort(data[:, 0])]
+        # skips its internal coordinate sort. The sort only tightens the
+        # Pallas tile mask — on the dense backend it is pure overhead, so
+        # gate it on the same static dispatch predicate.
+        sorting = field._use_pallas(batch_size,
+                                    params["positions"].shape[0])
+        if sorting:
+            data = data[jnp.argsort(data[:, 0])]
         ref_vor = jax.lax.stop_gradient(covector.advected_vorticity_2d(
             old_mix, spec, data, dt, lo, hi, presorted=True))
 
-        def heads(p):
-            _, jac = field.value_and_jac(_mix(p, alive), spec, data,
-                                         presorted=True, need_dx=False)
-            l_vor = w.vor * losses.vorticity_loss_2d(jac, ref_vor)
-            l_div = w.div * losses.divergence_loss(jac)
-            return l_vor, l_div
+        def head_vor(val, jac):
+            return w.vor * losses.vorticity_loss_2d(jac, ref_vor)
 
-        (l_vor, l_div), vjp = jax.vjp(heads, params)
-        g_vor = vjp((jnp.ones(()), jnp.zeros(())))[0]
-        g_div = vjp((jnp.zeros(()), jnp.ones(())))[0]
+        def head_div(val, jac):
+            return w.div * losses.divergence_loss(jac)
+
+        (l_vor, l_div), (g_vor, g_div) = field.two_head_grads(
+            params, alive, spec, data, head_vor, head_div)
 
         def rest(p):
             m = _mix(p, alive)
@@ -121,18 +125,22 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
             bc = jnp.zeros(())
             if boundary_lambda > 0.0 and bs1 is not None:
                 bd, bval = bs1(kb1, batch_size, adv)
-                o = jnp.argsort(bd[:, 0])
+                if sorting:
+                    o = jnp.argsort(bd[:, 0])
+                    bd, bval = bd[o], bval[o]
                 c1 = losses.boundary_dirichlet_loss(
-                    field.value(m, spec, bd[o], presorted=True,
-                                need_dx=False), bval[o])
+                    field.value(m, spec, bd, presorted=True,
+                                need_dx=False), bval)
                 total = total + boundary_lambda * c1
                 bc = bc + c1
             if boundary_lambda > 0.0 and bs2 is not None:
                 bd, bn, bnr = bs2(kb2, batch_size, adv)
-                o = jnp.argsort(bd[:, 0])
+                if sorting:
+                    o = jnp.argsort(bd[:, 0])
+                    bd, bn, bnr = bd[o], bn[o], bnr[o]
                 c2 = losses.boundary_flux_loss(
-                    field.value(m, spec, bd[o], presorted=True,
-                                need_dx=False), bn[o], bnr[o])
+                    field.value(m, spec, bd, presorted=True,
+                                need_dx=False), bn, bnr)
                 total = total + boundary_lambda * c2
                 bc = bc + c2
             return total, bc
@@ -268,25 +276,26 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         old_mix = _mix(old_params, old_alive)
         kd, kb = jax.random.split(key)
         data = _uniform_batch(kd, batch_size, lo_j, hi_j)
-        data = data[jnp.argsort(data[:, 0])]   # sort once per epoch
+        sorting = field._use_pallas(batch_size,
+                                    params["positions"].shape[0])
+        if sorting:
+            data = data[jnp.argsort(data[:, 0])]   # sort once per epoch
         ref_vor, ref_hel = covector.advected_vorticity_3d(
             old_mix, spec, data, dt, presorted=True)
         ref_vor = jax.lax.stop_gradient(ref_vor)
         ref_hel = jax.lax.stop_gradient(ref_hel)
 
-        def heads(p):
-            val, jac = field.value_and_jac(_mix(p, alive), spec, data,
-                                           presorted=True, need_dx=False)
-            # helicity accumulates into the vorticity PCGrad bucket
-            # (reference 3D/GSR.py:508-520)
-            l_vorhel = (w.vor * losses.vorticity_loss_3d(jac, ref_vor)
-                        + w.hel * losses.helicity_loss(val, jac, ref_hel))
-            l_div = w.div * losses.divergence_loss(jac)
-            return l_vorhel, l_div
+        # helicity accumulates into the vorticity PCGrad bucket
+        # (reference 3D/GSR.py:508-520)
+        def head_vorhel(val, jac):
+            return (w.vor * losses.vorticity_loss_3d(jac, ref_vor)
+                    + w.hel * losses.helicity_loss(val, jac, ref_hel))
 
-        (l_vorhel, l_div), vjp = jax.vjp(heads, params)
-        g_vor = vjp((jnp.ones(()), jnp.zeros(())))[0]
-        g_div = vjp((jnp.zeros(()), jnp.ones(())))[0]
+        def head_div(val, jac):
+            return w.div * losses.divergence_loss(jac)
+
+        (l_vorhel, l_div), (g_vor, g_div) = field.two_head_grads(
+            params, alive, spec, data, head_vorhel, head_div)
 
         def rest(p):
             m = _mix(p, alive)
@@ -296,10 +305,12 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
             bc = jnp.zeros(())
             if boundary_lambda > 0.0 and bs_freeslip is not None:
                 bd, bn = bs_freeslip(kb, batch_size)
-                o = jnp.argsort(bd[:, 0])
+                if sorting:
+                    o = jnp.argsort(bd[:, 0])
+                    bd, bn = bd[o], bn[o]
                 c = losses.boundary_freeslip_loss(
-                    field.value(m, spec, bd[o], presorted=True,
-                                need_dx=False), bn[o])
+                    field.value(m, spec, bd, presorted=True,
+                                need_dx=False), bn)
                 total = total + boundary_lambda * c
                 bc = bc + c
             return total, bc

@@ -259,6 +259,69 @@ def test_centered_env_matrix(monkeypatch, sparse, presorted):
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("d", [2, 3])
+def test_two_head_grads_dual_backward_matches_vjp(d):
+    """The dual-cotangent backward (one shared tile sweep for the PCGrad
+    heads) must agree with two independent jax.vjp pullbacks on the dense
+    path — including dead/out-of-domain Gaussians."""
+    mix, spec = _mix(80, d, seed=d + 50)
+    alive = mix.alive.at[5:12].set(False)
+    pos = mix.positions.at[20:23].set(50.0)
+    mix = GaussianMixture(pos, mix.scalings, mix.rotations, mix.values,
+                          alive)
+    x = np.random.RandomState(8).uniform(-4, 4, (48, d)).astype(np.float32)
+    x = jnp.asarray(x[np.argsort(x[:, 0])])
+    params = mix.params()
+
+    def head1(val, jac):
+        return jnp.abs(jac).mean() + (val * val).mean()
+
+    def head2(val, jac):
+        return (jnp.trace(jac, axis1=-2, axis2=-1) ** 2).mean()
+
+    def heads(p):
+        m = mix.with_params(p)
+        val, jac = field.value_and_jac_dense(m, spec, x)
+        return head1(val, jac), head2(val, jac)
+
+    (l1_d, l2_d), vjp = jax.vjp(heads, params)
+    g1_d = vjp((jnp.ones(()), jnp.zeros(())))[0]
+    g2_d = vjp((jnp.zeros(()), jnp.ones(())))[0]
+
+    (l1, l2), (g1, g2) = field.two_head_grads_centered(
+        params, mix.alive, spec, x, head1, head2, tb=64, tn=256)
+    np.testing.assert_allclose(float(l1), float(l1_d), rtol=1e-4)
+    np.testing.assert_allclose(float(l2), float(l2_d), rtol=1e-4)
+    for k in g1_d:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g1_d[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=f"g1.{k}")
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g2_d[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=f"g2.{k}")
+
+
+def test_two_head_grads_dispatch(monkeypatch):
+    """Both backends of the dispatching two_head_grads agree."""
+    mix, spec = _mix(60, 2, seed=77)
+    x = np.random.RandomState(2).uniform(-4, 4, (32, 2)).astype(np.float32)
+    x = jnp.asarray(x[np.argsort(x[:, 0])])
+    params = mix.params()
+    h1 = lambda val, jac: jnp.abs(val).mean()
+    h2 = lambda val, jac: jnp.abs(jac).sum()
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    (a1, a2), (ga1, ga2) = field.two_head_grads(params, mix.alive, spec, x,
+                                                h1, h2)
+    monkeypatch.setenv("GF_FIELD_BACKEND", "pallas")
+    (b1, b2), (gb1, gb2) = field.two_head_grads(params, mix.alive, spec, x,
+                                                h1, h2)
+    np.testing.assert_allclose(float(b1), float(a1), rtol=1e-4)
+    np.testing.assert_allclose(float(b2), float(a2), rtol=1e-4)
+    for k in ga1:
+        np.testing.assert_allclose(np.asarray(gb1[k]), np.asarray(ga1[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=k)
+        np.testing.assert_allclose(np.asarray(gb2[k]), np.asarray(ga2[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=k)
+
+
 def test_centered_presorted_lie_is_still_correct():
     """An untrue presorted promise loosens tile bounds but never drops a
     contributing pair (the mask uses actual tile extents)."""
