@@ -66,16 +66,19 @@ def build_state():
 
 def measure_ours():
     import jax
+    from gaussian_fluids_tpu.utils import rng
     run_chunk, carry, capacity = build_state()
     key = jax.random.PRNGKey(0)
-    # warmup/compile
+    # warmup/compile; hard-sync via value fetch (block_until_ready is not
+    # reliable through remote-attached device clients)
     carry, _ = run_chunk(carry, key, 100)
-    jax.block_until_ready(carry[0]["positions"])
+    float(carry[0]["positions"][0, 0])
+    key, sub = rng.split2(key)   # warm the jitted splitter too
     t0 = time.perf_counter()
     for i in range(EPOCHS_TIMED // 100):
-        key, sub = jax.random.split(key)
+        key, sub = rng.split2(key)
         carry, _ = run_chunk(carry, sub, 100)
-    jax.block_until_ready(carry[0]["positions"])
+    float(carry[0]["positions"][0, 0])
     dt = time.perf_counter() - t0
     eps = EPOCHS_TIMED / dt
     # each epoch: 5 RK4 field evals (val+jac) + fwd/bwd heads + boundary

@@ -40,18 +40,21 @@ import jax.numpy as jnp
 
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.ops import rotations as rotations_ops
 
 _MM = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 # Hot-path backend selection: "auto" (fused Pallas kernel on TPU when the
 # (B, N) sweep is large enough to pay off, dense XLA otherwise), "dense", or
 # "pallas" via GF_FIELD_BACKEND. The Pallas path is bit-compatible in
-# masking semantics and measured 1.2-2.5x faster at karman/3D scales, but a
-# slight loss at leapfrog-2D scale where the dense sweep fits comfortably
-# (scripts/bench_backends.py); on CPU its interpret mode is slow, so "auto"
-# keeps the dense path there.
+# masking semantics and measured faster at EVERY production epoch scale
+# (scripts/bench_backend_crossover.py, in-scan interleaved timing on v5e:
+# 11% at N=576/B=512 up to 33% at N=10k, 1.2-2.5x at karman/3D scales);
+# dense remains for sub-tile query batches (padding waste) and CPU, where
+# Pallas interpret mode is slow.
 _BACKEND_ENV = "GF_FIELD_BACKEND"
-_PALLAS_MIN_BN = 4_000_000  # B*N above which the fused kernel wins on TPU
+_PALLAS_MIN_BN = 262_144  # B*N above which the fused kernel wins on TPU
+_PALLAS_MIN_B = 256       # below one query tile, tb-padding favors dense
 
 
 def _use_pallas(b: int, n: int) -> bool:
@@ -61,7 +64,7 @@ def _use_pallas(b: int, n: int) -> bool:
     if mode == "pallas":
         return True
     return (jax.default_backend() in ("tpu", "axon")
-            and b * n >= _PALLAS_MIN_BN)
+            and b >= _PALLAS_MIN_B and b * n >= _PALLAS_MIN_BN)
 
 
 def in_domain_mask(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
@@ -321,15 +324,15 @@ def support_radius(scalings: jnp.ndarray, clamp: float) -> jnp.ndarray:
 
 
 def _packed_precisions(mix: GaussianMixture, dead: jnp.ndarray) -> jnp.ndarray:
-    """(N, d(d+1)/2 + 1): P diagonal, P off-diagonals (i<j), dead-row bias."""
-    d = mix.d
-    P = mix.precisions()
-    cols = [P[:, i, i] for i in range(d)]
-    for i in range(d):
-        for j in range(i + 1, d):
-            cols.append(P[:, i, j])
-    cols.append(jnp.where(dead, 1e9, 0.0))
-    return jnp.stack(cols, axis=-1)
+    """(N, d(d+1)/2 + 1): P diagonal, P off-diagonals (i<j), dead-row bias.
+
+    Entries come from the closed-form elementwise path (f32 VPU, exact) —
+    NOT by slicing ``mix.precisions()``, whose batched einsum rounds
+    through the bf16 MXU and lowers to a slow serial slice fusion."""
+    pk = rotations_ops.packed_precision_entries(mix.scalings, mix.rotations,
+                                                mix.d)
+    return jnp.concatenate([pk, jnp.where(dead, 1e9, 0.0)[:, None]],
+                           axis=-1)
 
 
 def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
@@ -579,13 +582,16 @@ def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     coordinate 0 internally; each query tile visits only a window of
     ``band`` Gaussian tiles starting at its first x-overlapping tile.
 
-    CALLER CONTRACT: ``band`` (static) must cover the widest x-overlap
-    window, i.e. band >= max_i (jhi_i - jlo_i + 1) for the x-dilated tile
-    bounds — compute it host-side from the mixture and query extents with a
-    drift margin (see solver/simulate3d.advected_density). Tiles outside
-    the window are silently skipped."""
+    ``band`` (static) should cover the widest x-overlap window, i.e.
+    band >= max_i (jhi_i - jlo_i + 1) for the x-dilated tile bounds —
+    compute it host-side from the mixture and query extents with a drift
+    margin (see solver/simulate3d.advected_density). An insufficient band
+    is SAFE but slow: the actual window requirement is checked on-device
+    against the same tile bounds, and any violation falls back to the full
+    masked-sweep kernel for the whole call (correct result, no silently
+    dropped contributions)."""
     from gaussian_fluids_tpu.ops.pallas.gsr_centered import (
-        fused_gsr_value_banded)
+        _fwd, fused_gsr_value_banded)
     if x.ndim != 2 or x.shape[1] != mix.d:
         raise ValueError(
             f"query points must have shape (B, {mix.d}); got {x.shape}")
@@ -626,7 +632,23 @@ def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
               & (blo[:, None] <= nhi[None, :]))
     jlo = jnp.argmax(mask_x, axis=1).astype(jnp.int32)
     jlo = jnp.clip(jlo, 0, nnt - band)
-    out = fused_gsr_value_banded(jlo, x_p, mu_p.T, pp_p.T, v_p, d, vdim,
-                                 float(spec.clamp_threshold), tb, tn,
-                                 band)[:b]
+    clamp = float(spec.clamp_threshold)
+    if band == nnt:
+        # window is the whole axis — cannot be violated
+        out = fused_gsr_value_banded(jlo, x_p, mu_p.T, pp_p.T, v_p, d,
+                                     vdim, clamp, tb, tn, band)[:b]
+        return out if presorted else out[inv]
+    # Runtime band guard: the last interacting N-tile of every query tile
+    # must fall inside [jlo, jlo + band). Rows with no interaction are
+    # trivially covered (their window contributes exact zeros).
+    any_row = jnp.any(mask_x, axis=1)
+    jhi = (nnt - 1 - jnp.argmax(mask_x[:, ::-1], axis=1)).astype(jnp.int32)
+    covered = jnp.all(jnp.where(any_row, jhi < jlo + band, True))
+    out = jax.lax.cond(
+        covered,
+        lambda: fused_gsr_value_banded(jlo, x_p, mu_p.T, pp_p.T, v_p, d,
+                                       vdim, clamp, tb, tn, band),
+        lambda: _fwd(mask_x.astype(jnp.int32), x_p, mu_p.T, pp_p.T, v_p,
+                     d, vdim, clamp, tb, tn, 0),
+    )[:b]
     return out if presorted else out[inv]

@@ -57,3 +57,38 @@ def precision_matrix(scalings: jnp.ndarray, rotations: jnp.ndarray,
     R = rotation_matrix(rotations, d)
     e2s = jnp.exp(2.0 * scalings)  # (N, d)
     return jnp.einsum("nik,nk,njk->nij", R, e2s, R)
+
+
+def packed_precision_entries(scalings: jnp.ndarray, rotations: jnp.ndarray,
+                             d: int) -> jnp.ndarray:
+    """(N, d(d+1)/2) upper-triangle entries of Sigma^{-1}, closed-form
+    ELEMENTWISE — diagonal first, then off-diagonals (i<j) lexicographic
+    (the kernel packing, ops/pallas/gsr_centered._off_pairs).
+
+    Equivalent to slicing :func:`precision_matrix` but much better on TPU:
+    the batched einsum lowers to bf16 MXU matmuls (rounding the precision
+    entries themselves) followed by a serial slice fusion — profiled at
+    ~290us/epoch at N=5120, ~30%% of a projection epoch. This form is a
+    single f32 VPU fusion and exact."""
+    e = jnp.exp(2.0 * scalings)
+    if d == 2:
+        c, s = jnp.cos(rotations), jnp.sin(rotations)
+        a, b = e[..., 0], e[..., 1]
+        return jnp.stack([c * c * a + s * s * b,
+                          s * s * a + c * c * b,
+                          c * s * (a - b)], axis=-1)
+    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    rows = (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)),
+        (2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)),
+        (2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)),
+    )
+    e0, e1, e2 = e[..., 0], e[..., 1], e[..., 2]
+
+    def pij(i, j):
+        ri, rj = rows[i], rows[j]
+        return ri[0] * rj[0] * e0 + ri[1] * rj[1] * e1 + ri[2] * rj[2] * e2
+
+    return jnp.stack([pij(0, 0), pij(1, 1), pij(2, 2),
+                      pij(0, 1), pij(0, 2), pij(1, 2)], axis=-1)

@@ -29,6 +29,7 @@ from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.ops.rotations import precision_matrix
 from gaussian_fluids_tpu.solver import losses, optim
 from gaussian_fluids_tpu.utils.grids import pad_chunks
+from gaussian_fluids_tpu.utils import rng as rng_utils
 
 
 def _repad_like(mix: GaussianMixture, capacity: int,
@@ -305,25 +306,42 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
 
     pat_v, pat_g = _ClonePatience(1e-3), _ClonePatience(1e-3)
     st = time.time()
+
+    # Speculative chunk pipeline (see project.py): dispatch chunk k+1
+    # before fetching chunk k's test metrics so the metric round trip
+    # overlaps device compute; abandoned on early stop.
+    def dispatch(c, n):
+        nonlocal key
+        key, sub = rng_utils.split2(key)
+        c2, _ = run_chunk(c, sub, n)
+        return c2, test_fn(c2[0], c2[2], test_x_s, test_ref)
+
     done = 0
-    while done < max_epoch:
-        n = min(check_iter, max_epoch - done)
-        key, sub = jax.random.split(key)
-        carry, _ = run_chunk(carry, sub, n)
-        done += n
-        lv, lg = metrics(carry)
-        if verbose:
-            print(f"[clone] loss: {lv}, loss_grad: {lg}, "
-                  f"time: {time.time() - st}")
-            st = time.time()
-        pat_v.update(float(lv), n)
-        pat_g.update(float(lg), n)
-        if pat_v.iters >= patience and pat_g.iters >= patience:
-            print("[clone] Total epoch:", done)
-            break
-    else:
-        print("[clone] Total epoch:", max_epoch,
-              "(Reached maximum iteration number)")
+    if max_epoch > 0:
+        cand_n = min(check_iter, max_epoch)
+        cand, m = dispatch(carry, cand_n)
+        while True:
+            nxt = None
+            if done + cand_n < max_epoch:
+                nxt_n = min(check_iter, max_epoch - done - cand_n)
+                nxt, nxt_m = dispatch(cand, nxt_n)
+            lv, lg = jax.device_get(m)
+            done += cand_n
+            carry = cand
+            if verbose:
+                print(f"[clone] loss: {lv}, loss_grad: {lg}, "
+                      f"time: {time.time() - st}")
+                st = time.time()
+            pat_v.update(float(lv), cand_n)
+            pat_g.update(float(lg), cand_n)
+            if pat_v.iters >= patience and pat_g.iters >= patience:
+                print("[clone] Total epoch:", done)
+                break
+            if nxt is None:
+                print("[clone] Total epoch:", max_epoch,
+                      "(Reached maximum iteration number)")
+                break
+            cand, m, cand_n = nxt, nxt_m, nxt_n
 
     return new_mix.with_params(carry[0])
 

@@ -25,6 +25,7 @@ from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import losses, optim
+from gaussian_fluids_tpu.utils import rng
 
 
 def make_fit_epoch(spec: FieldSpec, ref_val_fn: Callable,
@@ -84,18 +85,30 @@ def fit_velocity_with_gradient(mix: GaussianMixture, spec: FieldSpec,
 
     st = time.time()
     done = 0
+    pend = None   # previous chunk's aux; fetched AFTER dispatching the
+    # next chunk so the device->host log round trip overlaps compute
+    # (no decision depends on it — fit has no early stop)
+
+    def flush(a_dev):
+        a = jax.device_get(a_dev)
+        nonlocal st
+        print(f"loss: {a[0]:.6f}, loss_grad: {a[1]:.6f}, "
+              f"loss_aniso: {a[2]:.6f}, loss_vol: {a[3]:.6f}, "
+              f"divergence constraint: {a[4]:.6f}")
+        print("time:", time.time() - st)
+        st = time.time()
+
     while done < max_epoch:
         n = min(log_every, max_epoch - done)
-        key, sub = jax.random.split(key)
+        key, sub = rng.split2(key)
         carry, aux = run_chunk(carry, sub, n)
         done += n
         if verbose:
-            a = jax.device_get(aux[-1])
-            print(f"loss: {a[0]:.6f}, loss_grad: {a[1]:.6f}, "
-                  f"loss_aniso: {a[2]:.6f}, loss_vol: {a[3]:.6f}, "
-                  f"divergence constraint: {a[4]:.6f}")
-            print("time:", time.time() - st)
-            st = time.time()
+            if pend is not None:
+                flush(pend)
+            pend = aux[-1]
+    if verbose and pend is not None:
+        flush(pend)
 
     params, _, alive = carry
     return GaussianMixture(params["positions"], params["scalings"],

@@ -26,6 +26,7 @@ from gaussian_fluids_tpu.solver.clone import clone_velocity_field
 from gaussian_fluids_tpu.solver.fit import fit_velocity_with_gradient
 from gaussian_fluids_tpu.solver.project import ProjectWeights, project_2d
 from gaussian_fluids_tpu.utils.grids import grid_points_2d
+from gaussian_fluids_tpu.utils import rng
 
 LR_RATIO = 1.201956  # reference 2D/initialize.py:118,163
 
@@ -134,7 +135,7 @@ def _init_karman(mix, spec, scene, key, max_epoch, batch_size, verbose):
     sf = scene.scaling_factor
     x0, x1, y0, y1 = scene.initialize_domain
     lo, hi = (x0 * sf, y0 * sf), (x1 * sf, y1 * sf)
-    key, k1, k2 = jax.random.split(key, 3)
+    key, k1, k2 = rng.split3(key)
     mix = fit_velocity_with_gradient(
         mix, spec, scene.target_velocity, scene.target_velocity_jac, lo, hi,
         lrs={"positions": 1.6e-3, "scalings": 5e-3,
@@ -181,7 +182,7 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
 
     t, cnt = 0.0, start_frame + 1
     while t < last_time:
-        key, kc, kp = jax.random.split(key, 3)
+        key, kc, kp = rng.split3(key)
         adv_lo = (adv_domain[0] * sf, adv_domain[2] * sf)
         adv_hi = (adv_domain[1] * sf, adv_domain[3] * sf)
         new_mix = clone_velocity_field(

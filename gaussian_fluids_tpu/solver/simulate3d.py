@@ -23,6 +23,7 @@ from gaussian_fluids_tpu.solver.clone import clone_velocity_field
 from gaussian_fluids_tpu.solver.fit import fit_velocity_with_gradient
 from gaussian_fluids_tpu.solver.project import ProjectWeights, project_3d
 from gaussian_fluids_tpu.utils.grids import grid_points_3d
+from gaussian_fluids_tpu.utils import rng
 
 
 def _vorticity_mag_fn(mix, spec):
@@ -150,7 +151,7 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
 
     t, cnt = 0.0, start_frame + 1
     while t < last_time:
-        key, kc, kp = jax.random.split(key, 3)
+        key, kc, kp = rng.split3(key)
         new_mix = clone_velocity_field(
             mix, spec, lo=lo, hi=hi, test_x=test_x, key=kc, seed=cnt, d=3,
             batch_size=batch_size, max_epoch=max_epoch, verbose=verbose)

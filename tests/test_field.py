@@ -167,3 +167,22 @@ def test_dense_oracle_close_when_clamp_tiny():
     oracle = field.value_dense_oracle(mix, spec_tiny, x)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(oracle),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_packed_precision_entries_match_matrix():
+    """Closed-form packed entries == slicing the einsum precision matrix
+    (the kernel packing: diagonal first, then (i<j) off-diagonals)."""
+    from gaussian_fluids_tpu.ops import rotations as rot
+    rng = np.random.RandomState(11)
+    for d in (2, 3):
+        n = 64
+        scal = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+        rots = (jnp.asarray(rng.uniform(-3, 3, (n,)), jnp.float32) if d == 2
+                else jnp.asarray(rng.uniform(-1, 1, (n, 4)), jnp.float32))
+        P = rot.precision_matrix(scal, rots, d)
+        pk = rot.packed_precision_entries(scal, rots, d)
+        cols = [P[:, i, i] for i in range(d)]
+        cols += [P[:, i, j] for i in range(d) for j in range(i + 1, d)]
+        ref = jnp.stack(cols, axis=-1)
+        np.testing.assert_allclose(np.asarray(pk), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"d={d}")

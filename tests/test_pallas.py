@@ -205,6 +205,21 @@ def test_banded_value_matches_dense():
                                    err_msg=f"band={band}")
 
 
+def test_banded_value_insufficient_band_falls_back_exactly():
+    """A band too narrow for the actual Gaussian spread must NOT silently
+    drop contributions: the on-device window guard falls back to the full
+    masked sweep and the result stays exact."""
+    mix, spec = _mix(128, 3, seed=61)
+    g = np.linspace(-4.5, 4.5, 6).astype(np.float32)
+    x = jnp.asarray(np.stack(np.meshgrid(g, g, g, indexing="ij"),
+                             -1).reshape(-1, 3))
+    v_d = field.value_dense(mix, spec, x)
+    # unsorted random Gaussians span every tile; band=1 cannot cover them
+    v_b = field.value_banded(mix, spec, x, 1, tb=64, tn=256)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_banded_value_presorted():
     mix, spec = _mix(100, 2, seed=67)
     x = np.random.RandomState(3).uniform(-5, 5, (80, 2)).astype(np.float32)
