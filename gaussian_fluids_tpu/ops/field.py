@@ -481,7 +481,8 @@ def value_pallas(mix: GaussianMixture, spec: FieldSpec,
 
 
 def two_head_grads_centered(params, alive, spec: FieldSpec, x: jnp.ndarray,
-                            head1, head2, tb: int = 256, tn: int = 512):
+                            head1, head2, tb: int = 256, tn: int = 512,
+                            heads_use_val: bool = True):
     """((l1, l2), (g1, g2)): two scalar heads of (val, jac) and their
     parameter gradients, sharing ONE forward and ONE dual-cotangent backward
     kernel sweep.
@@ -533,20 +534,28 @@ def two_head_grads_centered(params, alive, spec: FieldSpec, x: jnp.ndarray,
     dout1 = _pad_axis(h1_vjp(one)[0], tb, axis=0)
     dout2 = _pad_axis(h2_vjp(one)[0], tb, axis=0)
     (dmu1, dpp1, dv1), (dmu2, dpp2, dv2) = fused_gsr_centered_bwd2(
-        tmask, x_p, muT, ppT, v_p, dout1, dout2, d, vdim, clamp, tb, tn)
+        tmask, x_p, muT, ppT, v_p, dout1, dout2, d, vdim, clamp, tb, tn,
+        use_val=heads_use_val)
     g1 = prep_vjp((dmu1.T, dpp1.T, dv1))[0]
     g2 = prep_vjp((dmu2.T, dpp2.T, dv2))[0]
     return (l1, l2), (g1, g2)
 
 
 def two_head_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
-                   head1, head2, presorted: bool = True):
+                   head1, head2, presorted: bool = True,
+                   heads_use_val: bool = True):
     """Backend-dispatching version of :func:`two_head_grads_centered`:
     falls back to two jax.vjp pullbacks on the dense path (small problems /
-    CPU), where the shared-recompute saving does not apply."""
+    CPU), where the shared-recompute saving does not apply.
+
+    ``heads_use_val=False`` promises NEITHER head reads the value (jac-only
+    losses, e.g. 2D vorticity + divergence): the kernel backward skips the
+    value-cotangent matmuls. A head that breaks the promise gets silently
+    wrong gradients — dispatch decides, not inspection."""
     cap = params["positions"].shape[0]
     if _use_pallas(x.shape[0], cap):
-        return two_head_grads_centered(params, alive, spec, x, head1, head2)
+        return two_head_grads_centered(params, alive, spec, x, head1, head2,
+                                       heads_use_val=heads_use_val)
 
     def heads(p):
         mix = GaussianMixture(p["positions"], p["scalings"],
@@ -572,6 +581,35 @@ def value_dense_oracle(mix: GaussianMixture, spec: FieldSpec,
     quad = jnp.einsum("bni,nij,bnj->bn", delta, P, delta)
     g = jnp.exp(-0.5 * quad) * mix.alive[None, :]
     return _MM(g, mix.values)
+
+
+def rk4_valjac_fused(mix: GaussianMixture, spec: FieldSpec,
+                     x: jnp.ndarray, dt, tb: int = 256, tn: int = 512):
+    """(phi, val, jac): RK4 endpoint through the velocity field plus
+    (value, jacobian) AT the endpoint, in ONE fused Pallas launch (all four
+    stages' positions never leave VMEM — replaces five staged kernel
+    launches of the 2D covector target, reference 2D/advance.py:46-54).
+    Forward-only (no VJP); velocity fields only (vdim == d)."""
+    from gaussian_fluids_tpu.ops.pallas.rk4_fused import fused_rk4
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    d, vdim = mix.d, mix.vdim
+    b = x.shape[0]
+    dead = ~in_domain_mask(mix, spec)
+    pp = _packed_precisions(mix, dead)
+    x_p = _pad_axis(x, tb, axis=0)
+    mu_p = _pad_axis(mix.positions, tn, axis=0)
+    pp_p = _pad_axis(pp, tn, axis=0)
+    nb = d * (d + 1) // 2
+    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
+    v_p = _pad_axis(mix.values, tn, axis=0)
+    phi, vj = fused_rk4(x_p, mu_p.T, pp_p.T, v_p, dt, d,
+                        float(spec.clamp_threshold), tb, tn, d)
+    phi, vj = phi[:b], vj[:b]
+    val = vj[:, :vdim]
+    jac = jnp.transpose(vj[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
+    return phi, val, jac
 
 
 def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,

@@ -115,16 +115,24 @@ def _fwd_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, out_ref, acc_ref,
         out_ref[:] = acc_ref[:]
 
 
-def _bwd_cotangents(g, m, pd, dout, v, njac, vdim):
-    """Shared: (gquad, gpd list, mg) from output cotangents."""
+def _bwd_cotangents(g, m, pd, dout, v, njac, vdim, use_val=True):
+    """Shared: (gquad, gpd list, mg) from output cotangents.
+
+    ``use_val=False`` promises the value cotangent ``dout[:, :vdim]`` is
+    identically zero (jac-only heads, e.g. 2D vorticity/divergence) and
+    skips its matmul."""
     # s1 = dval @ v^T ; s2k = djac_k @ v^T    -- (TB, TN)
-    s1 = _DOT(dout[:, :vdim], v, (((1,), (1,)), ((), ())))
     s2 = [_DOT(dout[:, (1 + k) * vdim:(2 + k) * vdim], v,
                (((1,), (1,)), ((), ()))) for k in range(njac)]
     mg = jnp.where(m, g, 0.0)
-    gg = s1
-    for k in range(njac):
-        gg = gg - s2[k] * pd[k]
+    if use_val:
+        gg = _DOT(dout[:, :vdim], v, (((1,), (1,)), ((), ())))
+        for k in range(njac):
+            gg = gg - s2[k] * pd[k]
+    else:
+        gg = -s2[0] * pd[0]
+        for k in range(1, njac):
+            gg = gg - s2[k] * pd[k]
     gquad = jnp.where(m, -0.5 * g * gg, 0.0)    # dL/dquad
     gpd = [-mg * s2[k] for k in range(njac)]    # dL/dPd_k
     return gquad, gpd, mg
@@ -169,15 +177,22 @@ def _bwd_dx_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
 
 
 def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
-                   dmu_acc, dpp_acc, dv_acc):
+                   dmu_acc, dpp_acc, dv_acc, use_val=True):
     """Accumulate (dmu, dPp, dv) for one cotangent block into the scratch
-    accumulators, given the shared tile quantities."""
-    gquad, gpd, mg = _bwd_cotangents(g, m, pd, dout, v, njac, vdim)
-    mgv = jnp.where(m, g - clamp, 0.0)
+    accumulators, given the shared tile quantities. ``use_val=False``
+    promises a zero value cotangent (jac-only heads) and skips its
+    matmuls."""
+    gquad, gpd, mg = _bwd_cotangents(g, m, pd, dout, v, njac, vdim,
+                                     use_val)
 
     # dv: mgv^T @ dval - sum_k (mg Pd_k)^T @ djac_k
-    dv = _DOT(mgv, dout[:, :vdim], (((0,), (0,)), ((), ())))
-    for k in range(njac):
+    if use_val:
+        mgv = jnp.where(m, g - clamp, 0.0)
+        dv = _DOT(mgv, dout[:, :vdim], (((0,), (0,)), ((), ())))
+    else:
+        dv = _DOT(-mg * pd[0], dout[:, vdim:2 * vdim],
+                  (((0,), (0,)), ((), ())))
+    for k in range(0 if use_val else 1, njac):
         dv += _DOT(-mg * pd[k],
                    dout[:, (1 + k) * vdim:(2 + k) * vdim],
                    (((0,), (0,)), ((), ())))
@@ -239,7 +254,7 @@ def _bwd_dn2_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
                     dout2_ref, dmu1_ref, dpp1_ref, dv1_ref, dmu2_ref,
                     dpp2_ref, dv2_ref, dmu1_acc, dpp1_acc, dv1_acc,
                     dmu2_acc, dpp2_acc, dv2_acc, *, d, vdim, clamp, nsteps,
-                    njac):
+                    njac, use_val):
     """Dual-cotangent (dmu, dPp, dv) backward: the PCGrad projection needs
     the vorticity-head and divergence-head parameter gradients SEPARATELY
     (reference 2D/advance.py:188-193); two jax.vjp pullbacks would recompute
@@ -260,9 +275,9 @@ def _bwd_dn2_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
                                            clamp)
         v = v_ref[:]
         _dn_accumulate(delta, g, m, pd, ppT, dout1_ref[:], v, d, vdim,
-                       clamp, njac, dmu1_acc, dpp1_acc, dv1_acc)
+                       clamp, njac, dmu1_acc, dpp1_acc, dv1_acc, use_val)
         _dn_accumulate(delta, g, m, pd, ppT, dout2_ref[:], v, d, vdim,
-                       clamp, njac, dmu2_acc, dpp2_acc, dv2_acc)
+                       clamp, njac, dmu2_acc, dpp2_acc, dv2_acc, use_val)
 
     @pl.when(i == nsteps - 1)
     def _():
@@ -374,13 +389,15 @@ def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac,
 
 
 def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
-                            d, vdim, clamp, tb, tn, njac=-1):
+                            d, vdim, clamp, tb, tn, njac=-1,
+                            use_val=True):
     """Parameter cotangents for TWO output cotangent blocks in ONE B-sweep
     (shared tile recompute). Returns ((dmu1, dpp1, dv1), (dmu2, dpp2, dv2))
     with dmu (N, d), dpp (N, np), dv (N, vdim) — NOT transposed (callers
     pulling back through the transposed layout must .T themselves). No dx
     (training epochs treat x as a constant of the loss)."""
     njac = d if njac < 0 else njac
+    assert use_val or njac >= 1
     B = x.shape[0]
     N = muT.shape[1]
     np_ = ppT.shape[0]
@@ -389,7 +406,7 @@ def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
         dout1.shape, dout2.shape, B, cols)
     out = pl.pallas_call(
         functools.partial(_bwd_dn2_kernel, d=d, vdim=vdim, clamp=clamp,
-                          nsteps=B // tb, njac=njac),
+                          nsteps=B // tb, njac=njac, use_val=use_val),
         grid=(N // tn, B // tb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
+import os
+
 from gaussian_fluids_tpu.ops.advect import rk4_advect, rk4_advect_pos
 from gaussian_fluids_tpu.solver import losses
 
@@ -27,10 +29,18 @@ def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
     """Target vorticity at x (B,) — reference AdvectedCovectorField.vorticity
     with the 'rk4' scheme (2D/advance.py:46-54). adv_lo/adv_hi are the
     *scaled* advance-domain bounds."""
-    bk_x = rk4_advect_pos(vel_mix, spec, x, -dt, presorted=presorted)
     from gaussian_fluids_tpu.ops import field
-    _, dv = field.value_and_jac(vel_mix, spec, bk_x, presorted=presorted,
-                                need_dx=False)
+    # GF_FUSED_RK4=1 runs the single-launch fused kernel; measured slightly
+    # SLOWER than the staged culled launches at production scales (586 vs
+    # 595 us/epoch at leapfrog, 2157 vs 2200 at karman: the staged path's
+    # block-sparse tile mask outweighs the launch fusion), so default off.
+    if field._use_pallas(x.shape[0], vel_mix.capacity) and \
+            os.environ.get("GF_FUSED_RK4", "0") == "1":
+        bk_x, _, dv = field.rk4_valjac_fused(vel_mix, spec, x, -dt)
+    else:
+        bk_x = rk4_advect_pos(vel_mix, spec, x, -dt, presorted=presorted)
+        _, dv = field.value_and_jac(vel_mix, spec, bk_x,
+                                    presorted=presorted, need_dx=False)
     vor = losses.curl2d(dv)
     lo = jnp.asarray(adv_lo, jnp.float32)
     hi = jnp.asarray(adv_hi, jnp.float32)

@@ -114,8 +114,11 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         def head_div(val, jac):
             return w.div * losses.divergence_loss(jac)
 
+        # both 2D heads are jac-only -> the kernel backward skips the
+        # value-cotangent matmuls
         (l_vor, l_div), (g_vor, g_div) = field.two_head_grads(
-            params, alive, spec, data, head_vor, head_div)
+            params, alive, spec, data, head_vor, head_div,
+            heads_use_val=False)
 
         def rest(p):
             m = _mix(p, alive)

@@ -314,6 +314,40 @@ def test_two_head_grads_dual_backward_matches_vjp(d):
                                    rtol=5e-3, atol=1e-6, err_msg=f"g2.{k}")
 
 
+def test_two_head_grads_jac_only_skip_matches_vjp():
+    """heads_use_val=False (2D vor/div: jac-only heads) must produce the
+    same gradients as the dense two-vjp reference."""
+    mix, spec = _mix(80, 2, seed=31)
+    x = np.random.RandomState(4).uniform(-4, 4, (48, 2)).astype(np.float32)
+    x = jnp.asarray(x[np.argsort(x[:, 0])])
+    params = mix.params()
+
+    def head1(val, jac):
+        return jnp.abs(jac[:, 1, 0] - jac[:, 0, 1]).mean()
+
+    def head2(val, jac):
+        return ((jac[:, 0, 0] + jac[:, 1, 1]) ** 2).mean()
+
+    def heads(p):
+        m = mix.with_params(p)
+        val, jac = field.value_and_jac_dense(m, spec, x)
+        return head1(val, jac), head2(val, jac)
+
+    (l1_d, l2_d), vjp = jax.vjp(heads, params)
+    g1_d = vjp((jnp.ones(()), jnp.zeros(())))[0]
+    g2_d = vjp((jnp.zeros(()), jnp.ones(())))[0]
+    (l1, l2), (g1, g2) = field.two_head_grads_centered(
+        params, mix.alive, spec, x, head1, head2, tb=64, tn=256,
+        heads_use_val=False)
+    np.testing.assert_allclose(float(l1), float(l1_d), rtol=1e-4)
+    np.testing.assert_allclose(float(l2), float(l2_d), rtol=1e-4)
+    for k in g1_d:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g1_d[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=f"g1.{k}")
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g2_d[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=f"g2.{k}")
+
+
 def test_two_head_grads_dispatch(monkeypatch):
     """Both backends of the dispatching two_head_grads agree."""
     mix, spec = _mix(60, 2, seed=77)
@@ -350,3 +384,50 @@ def test_centered_presorted_lie_is_still_correct():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_c), np.asarray(j_d),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_fused_rk4_matches_staged():
+    """The single-launch fused RK4 kernel (4 stages + endpoint val/jac in
+    VMEM) must match the staged pos-only RK4 + dense endpoint eval."""
+    from gaussian_fluids_tpu.ops.advect import rk4_advect_pos
+    mix, spec = _mix(90, 2, seed=7)
+    p = mix.params()
+    rng = np.random.RandomState(1)
+    p["values"] = jnp.asarray(
+        0.3 * rng.randn(*p["values"].shape).astype(np.float32))
+    mix = mix.with_params(p)
+    x = jnp.asarray(rng.uniform(-4, 4, (48, 2)).astype(np.float32))
+    for dt in (-0.05, 0.08):
+        phi_ref = rk4_advect_pos(mix, spec, x, dt)
+        val_ref, jac_ref = field.value_and_jac_dense(mix, spec, phi_ref)
+        phi, val, jac = field.rk4_valjac_fused(mix, spec, x, dt, tb=16,
+                                               tn=256)
+        np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(val), np.asarray(val_ref),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(jac), np.asarray(jac_ref),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_covector_2d_fused_matches_staged(monkeypatch):
+    """advected_vorticity_2d must agree between the fused-RK4 dispatch and
+    the staged path."""
+    from gaussian_fluids_tpu.solver import covector
+    mix, spec = _mix(90, 2, seed=3)
+    p = mix.params()
+    rng = np.random.RandomState(2)
+    p["values"] = jnp.asarray(
+        0.3 * rng.randn(*p["values"].shape).astype(np.float32))
+    mix = mix.with_params(p)
+    x = jnp.asarray(np.sort(rng.uniform(-4, 4, (64, 2)).astype(np.float32),
+                            axis=0))
+    lo, hi = jnp.asarray([-5.0, -5.0]), jnp.asarray([5.0, 5.0])
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    a = covector.advected_vorticity_2d(mix, spec, x, 0.05, lo, hi,
+                                       presorted=True)
+    monkeypatch.setenv("GF_FIELD_BACKEND", "pallas")
+    b = covector.advected_vorticity_2d(mix, spec, x, 0.05, lo, hi,
+                                       presorted=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
+                               atol=1e-5)
