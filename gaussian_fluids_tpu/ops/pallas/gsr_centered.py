@@ -432,6 +432,11 @@ def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
             for w in (d, np_, vdim, d, np_, vdim)),
         scratch_shapes=[pltpu.VMEM((tn, w), jnp.float32)
                         for w in (d, np_, vdim, d, np_, vdim)],
+        # the dual kernel's working set sits just over the 16 MB default
+        # scoped-vmem budget at 3D production scale (N=64k, B=8192:
+        # 17.4 MB); the chip has 128 MB — raise the compiler budget rather
+        # than shrink the tiles
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=_interpret(),
     )(tmask, x, muT, ppT, values, dout1, dout2)
     return out[:3], out[3:]
