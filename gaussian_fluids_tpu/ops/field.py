@@ -541,6 +541,110 @@ def two_head_grads_centered(params, alive, spec: FieldSpec, x: jnp.ndarray,
     return (l1, l2), (g1, g2)
 
 
+def epoch_heads_grads_centered(params, alive, spec: FieldSpec,
+                               x: jnp.ndarray, x_bnd: jnp.ndarray,
+                               head1, head2, head_bnd,
+                               heads_use_val: bool = True,
+                               tb: int = 256, tn: int = 512):
+    """((l1, l2, lb), (g1, g2, gb)) for the fused projection-epoch
+    geometry: heads 1/2 (the PCGrad buckets) see (val, jac) at the DATA
+    rows ``x``; ``head_bnd`` sees the value at the BOUNDARY rows ``x_bnd``.
+    ONE forward sweep over the concatenated rows and ONE triple-cotangent
+    backward (``fused_gsr_centered_bwd3``) replace the separate boundary
+    forward + value-backward launches. Both row segments must be presorted
+    in coordinate 0; each is padded to a whole number of query tiles so the
+    backward can gate jac blocks to data tiles only.
+
+    MEASURED SLOWER than the separate launches in the production 2D epoch
+    (590 vs 570 us at leapfrog scale, 2271 vs 2191 us at karman scale,
+    interleaved in-process A/B on a v5e): the concat geometry doubles the
+    backward's B-tile sweep and the forward wastes jac columns on the
+    boundary rows, which outweighs the saved launches. Kept (with tests)
+    as a building block; the project runners use two_head_grads + separate
+    boundary evals."""
+    from gaussian_fluids_tpu.ops.pallas.gsr_centered import (
+        _fwd, fused_gsr_centered_bwd3)
+    d, vdim = spec.d, spec.vdim
+    bd_n, bb_n = x.shape[0], x_bnd.shape[0]
+    clamp = float(spec.clamp_threshold)
+    mix_sg = GaussianMixture(*[jax.lax.stop_gradient(params[k]) for k in
+                               ("positions", "scalings", "rotations",
+                                "values")], alive)
+    x_dp = _pad_axis(x, tb, axis=0)
+    data_rows = x_dp.shape[0]
+    xc = jnp.concatenate([x_dp, x_bnd], axis=0)
+    x_p, _, _, _, _, _, tmask = _centered_prep(mix_sg, spec, xc, tb, tn,
+                                               presorted=True)
+
+    def prep(p):
+        mix = GaussianMixture(p["positions"], p["scalings"],
+                              p["rotations"], p["values"], alive)
+        dead = ~in_domain_mask(mix, spec)
+        pp = _packed_precisions(mix, dead)
+        mu_p = _pad_axis(mix.positions, tn, axis=0)
+        pp_p = _pad_axis(pp, tn, axis=0)
+        nb = d * (d + 1) // 2
+        pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
+        v_p = _pad_axis(mix.values, tn, axis=0)
+        return mu_p.T, pp_p.T, v_p
+
+    (muT, ppT, v_p), prep_vjp = jax.vjp(prep, params)
+    out = _fwd(tmask, x_p, muT, ppT, v_p, d, vdim, clamp, tb, tn, d)
+    bp = x_p.shape[0]
+
+    def head_on_out(head, o):
+        val = o[:, :vdim]
+        jac = jnp.transpose(o[:, vdim:].reshape(bd_n, d, vdim), (0, 2, 1))
+        return head(val, jac)
+
+    one = jnp.ones(())
+    out_d = out[:bd_n]
+    l1, h1_vjp = jax.vjp(functools.partial(head_on_out, head1), out_d)
+    l2, h2_vjp = jax.vjp(functools.partial(head_on_out, head2), out_d)
+    val_b = out[data_rows:data_rows + bb_n, :vdim]
+    lb, hb_vjp = jax.vjp(head_bnd, val_b)
+    cols = (1 + d) * vdim
+    dout1 = jnp.zeros((bp, cols), jnp.float32).at[:bd_n].set(h1_vjp(one)[0])
+    dout2 = jnp.zeros((bp, cols), jnp.float32).at[:bd_n].set(h2_vjp(one)[0])
+    dout3 = jnp.zeros((bp, vdim), jnp.float32) \
+        .at[data_rows:data_rows + bb_n].set(hb_vjp(one)[0])
+    t1, t2, t3 = fused_gsr_centered_bwd3(
+        tmask, x_p, muT, ppT, v_p, dout1, dout2, dout3, d, vdim, clamp,
+        tb, tn, data_rows, use_val12=heads_use_val)
+    g1 = prep_vjp((t1[0].T, t1[1].T, t1[2]))[0]
+    g2 = prep_vjp((t2[0].T, t2[1].T, t2[2]))[0]
+    gb = prep_vjp((t3[0].T, t3[1].T, t3[2]))[0]
+    return (l1, l2, lb), (g1, g2, gb)
+
+
+def epoch_heads_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
+                      x_bnd: jnp.ndarray, head1, head2, head_bnd,
+                      presorted: bool = True, heads_use_val: bool = True):
+    """Backend-dispatching :func:`epoch_heads_grads_centered`: dense
+    fallback runs the same three heads through jax.vjp with basis
+    cotangents (the kernel fusion only pays on the Pallas path)."""
+    cap = params["positions"].shape[0]
+    if _use_pallas(x.shape[0], cap):
+        return epoch_heads_grads_centered(params, alive, spec, x, x_bnd,
+                                          head1, head2, head_bnd,
+                                          heads_use_val=heads_use_val)
+
+    def heads(p):
+        mix = GaussianMixture(p["positions"], p["scalings"],
+                              p["rotations"], p["values"], alive)
+        val, jac = value_and_jac(mix, spec, x, presorted=presorted,
+                                 need_dx=False)
+        vb = value(mix, spec, x_bnd, presorted=presorted, need_dx=False)
+        return head1(val, jac), head2(val, jac), head_bnd(vb)
+
+    z, o = jnp.zeros(()), jnp.ones(())
+    (l1, l2, lb), vjp = jax.vjp(heads, params)
+    g1 = vjp((o, z, z))[0]
+    g2 = vjp((z, o, z))[0]
+    gb = vjp((z, z, o))[0]
+    return (l1, l2, lb), (g1, g2, gb)
+
+
 def two_head_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
                    head1, head2, presorted: bool = True,
                    heads_use_val: bool = True):

@@ -289,6 +289,114 @@ def _bwd_dn2_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
         dv2_ref[:] = dv2_acc[:]
 
 
+def _bwd_dn3_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
+                    dout2_ref, dout3_ref, dmu1_ref, dpp1_ref, dv1_ref,
+                    dmu2_ref, dpp2_ref, dv2_ref, dmu3_ref, dpp3_ref,
+                    dv3_ref, dmu1_acc, dpp1_acc, dv1_acc, dmu2_acc,
+                    dpp2_acc, dv2_acc, dmu3_acc, dpp3_acc, dv3_acc, *, d,
+                    vdim, clamp, nsteps, njac, use_val12, data_tiles):
+    """Triple-cotangent backward for the fused projection epoch: blocks 1/2
+    are the PCGrad heads' (val, jac) cotangents on the DATA rows (the first
+    ``data_tiles`` B-tiles), block 3 is a value-only cotangent on the
+    BOUNDARY rows (the remaining tiles). One tile-quantity recompute per
+    B-tile serves whichever blocks are live there: data tiles run the two
+    jac accumulations, boundary tiles only the cheap value accumulation."""
+    jn, i = pl.program_id(0), pl.program_id(1)  # B is the reduction axis
+
+    @pl.when(i == 0)
+    def _():
+        for acc in (dmu1_acc, dpp1_acc, dv1_acc, dmu2_acc, dpp2_acc,
+                    dv2_acc, dmu3_acc, dpp3_acc, dv3_acc):
+            acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(tmask_ref[i, jn] != 0)
+    def _():
+        ppT = ppT_ref[:]
+        delta, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d,
+                                           clamp)
+        v = v_ref[:]
+
+        @pl.when(i < data_tiles)
+        def _():
+            _dn_accumulate(delta, g, m, pd, ppT, dout1_ref[:], v, d, vdim,
+                           clamp, njac, dmu1_acc, dpp1_acc, dv1_acc,
+                           use_val12)
+            _dn_accumulate(delta, g, m, pd, ppT, dout2_ref[:], v, d, vdim,
+                           clamp, njac, dmu2_acc, dpp2_acc, dv2_acc,
+                           use_val12)
+
+        @pl.when(i >= data_tiles)
+        def _():
+            _dn_accumulate(delta, g, m, pd, ppT, dout3_ref[:], v, d, vdim,
+                           clamp, 0, dmu3_acc, dpp3_acc, dv3_acc, True)
+
+    @pl.when(i == nsteps - 1)
+    def _():
+        for ref, acc in ((dmu1_ref, dmu1_acc), (dpp1_ref, dpp1_acc),
+                         (dv1_ref, dv1_acc), (dmu2_ref, dmu2_acc),
+                         (dpp2_ref, dpp2_acc), (dv2_ref, dv2_acc),
+                         (dmu3_ref, dmu3_acc), (dpp3_ref, dpp3_acc),
+                         (dv3_ref, dv3_acc)):
+            ref[:] = acc[:]
+
+
+def fused_gsr_centered_bwd3(tmask, x, muT, ppT, values, dout1, dout2,
+                            dout3, d, vdim, clamp, tb, tn, data_rows,
+                            njac=-1, use_val12=False):
+    """Parameter cotangents for the fused [data; boundary] epoch geometry:
+    ((dmu1, dpp1, dv1), (dmu2, dpp2, dv2), (dmu3, dpp3, dv3)) in ONE
+    B-sweep. ``x`` is the concatenation of data rows (cotangent blocks 1/2,
+    (val, jac) columns, zero outside the data rows) and boundary rows
+    (block 3, value-only cotangent, zero outside the boundary rows);
+    ``data_rows`` must be a multiple of tb. Layout as bwd2 (not
+    transposed)."""
+    njac = d if njac < 0 else njac
+    assert use_val12 or njac >= 1
+    B = x.shape[0]
+    N = muT.shape[1]
+    np_ = ppT.shape[0]
+    cols = (1 + njac) * vdim
+    assert data_rows % tb == 0, (data_rows, tb)
+    assert dout1.shape == (B, cols) and dout2.shape == (B, cols), (
+        dout1.shape, dout2.shape, B, cols)
+    assert dout3.shape == (B, vdim), (dout3.shape, B, vdim)
+    out = pl.pallas_call(
+        functools.partial(_bwd_dn3_kernel, d=d, vdim=vdim, clamp=clamp,
+                          nsteps=B // tb, njac=njac, use_val12=use_val12,
+                          data_tiles=data_rows // tb),
+        grid=(N // tn, B // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, vdim), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, cols), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, cols), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, vdim), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((tn, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM)
+            for w in (d, np_, vdim) * 3),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, w), jnp.float32)
+            for w in (d, np_, vdim) * 3),
+        scratch_shapes=[pltpu.VMEM((tn, w), jnp.float32)
+                        for w in (d, np_, vdim) * 3],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=_interpret(),
+    )(tmask, x, muT, ppT, values, dout1, dout2, dout3)
+    return out[:3], out[3:6], out[6:]
+
+
 def _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac):
     B = x.shape[0]
     N = muT.shape[1]

@@ -431,3 +431,54 @@ def test_covector_2d_fused_matches_staged(monkeypatch):
                                        presorted=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_epoch_heads_grads_triple_backward_matches_vjp(d):
+    """The fused [data; boundary] triple-cotangent backward must agree
+    with dense jax.vjp basis pullbacks — losses and all three gradients."""
+    mix, spec = _mix(80, d, seed=d + 60)
+    rng = np.random.RandomState(9)
+    x = rng.uniform(-4, 4, (48, d)).astype(np.float32)
+    x = jnp.asarray(x[np.argsort(x[:, 0])])
+    xb = rng.uniform(-4.5, 4.5, (32, d)).astype(np.float32)
+    xb = jnp.asarray(xb[np.argsort(xb[:, 0])])
+    bn = jnp.asarray(rng.randn(32, d).astype(np.float32))
+    params = mix.params()
+    use_val = d == 3
+
+    def head1(val, jac):
+        core = jnp.abs(jac).mean()
+        return core + (val * val).mean() if use_val else core
+
+    def head2(val, jac):
+        return (jnp.trace(jac, axis1=-2, axis2=-1) ** 2).mean()
+
+    def head_bnd(vb):
+        return jnp.abs(jnp.sum(vb * bn, axis=-1)).mean()
+
+    def heads(p):
+        m = mix.with_params(p)
+        val, jac = field.value_and_jac_dense(m, spec, x)
+        vb = field.value_dense(m, spec, xb)
+        return head1(val, jac), head2(val, jac), head_bnd(vb)
+
+    z, o = jnp.zeros(()), jnp.ones(())
+    (l1_d, l2_d, lb_d), vjp = jax.vjp(heads, params)
+    g1_d = vjp((o, z, z))[0]
+    g2_d = vjp((z, o, z))[0]
+    gb_d = vjp((z, z, o))[0]
+
+    (l1, l2, lb), (g1, g2, gb) = field.epoch_heads_grads_centered(
+        params, mix.alive, spec, x, xb, head1, head2, head_bnd,
+        heads_use_val=use_val, tb=16, tn=256)
+    np.testing.assert_allclose(float(l1), float(l1_d), rtol=1e-4)
+    np.testing.assert_allclose(float(l2), float(l2_d), rtol=1e-4)
+    np.testing.assert_allclose(float(lb), float(lb_d), rtol=1e-4)
+    for k in g1_d:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g1_d[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=f"g1.{k}")
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g2_d[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=f"g2.{k}")
+        np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(gb_d[k]),
+                                   rtol=5e-3, atol=1e-6, err_msg=f"gb.{k}")
