@@ -66,3 +66,19 @@ def test_pcgrad_zero_grad_safe():
     assert np.all(np.isfinite(np.asarray(out["a"])))
     np.testing.assert_allclose(np.asarray(out["a"]), [1.0, 2.0, 3.0],
                                atol=1e-6)
+
+
+def test_rng_split_helpers_match_eager():
+    """utils.rng.split2/split3 are the jitted twins of jax.random.split."""
+    import jax
+    from gaussian_fluids_tpu.utils import rng as rng_utils
+    key = jax.random.PRNGKey(42)
+    a = jax.random.split(key)
+    k2, s2 = rng_utils.split2(key)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(s2))
+    b = jax.random.split(key, 3)
+    k3, s3a, s3b = rng_utils.split3(key)
+    np.testing.assert_array_equal(np.asarray(b[0]), np.asarray(k3))
+    np.testing.assert_array_equal(np.asarray(b[1]), np.asarray(s3a))
+    np.testing.assert_array_equal(np.asarray(b[2]), np.asarray(s3b))
