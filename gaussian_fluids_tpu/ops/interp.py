@@ -46,24 +46,35 @@ def trilinear_interp(field: jnp.ndarray, positions: jnp.ndarray,
 def seed_ring_density(shape, domain, center, normal, radius,
                       thickness) -> jnp.ndarray:
     """Seed a solid-torus indicator density (the reference's
-    ``ti_set_ring``, 3D/advance_density.py:13-21)."""
-    import numpy as np
+    ``ti_set_ring``, 3D/advance_density.py:13-21).
+
+    Computed ON DEVICE under jit: at the reference 512^3 grid the same
+    math in host numpy walks ~10 separate 1.6 GB temporaries through one
+    core (~8 minutes); fused on the accelerator it is sub-second."""
+    import functools
+
+    import jax
+
     nx, ny, nz = shape
     x_min, x_max, y_min, y_max, z_min, z_max = domain
-    xs = np.linspace(x_min, x_max, nx, dtype=np.float32)
-    ys = np.linspace(y_min, y_max, ny, dtype=np.float32)
-    zs = np.linspace(z_min, z_max, nz, dtype=np.float32)
-    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-    pos = np.stack([X, Y, Z], -1)
-    center = np.asarray(center, np.float32)
-    normal = np.asarray(normal, np.float32)
-    normal = normal / np.linalg.norm(normal)
-    rel = pos - center
-    proj = pos - (rel @ normal)[..., None] * normal
-    rad_vec = proj - center
-    rad_len = np.linalg.norm(rad_vec, axis=-1)
-    outside_inner = rad_len >= radius - thickness
-    safe = np.maximum(rad_len, 1e-12)[..., None]
-    nearest = center + rad_vec / safe * radius
-    close = np.linalg.norm(pos - nearest, axis=-1) <= thickness
-    return jnp.asarray((outside_inner & close).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=())
+    def build(center, normal):
+        xs = jnp.linspace(x_min, x_max, nx, dtype=jnp.float32)
+        ys = jnp.linspace(y_min, y_max, ny, dtype=jnp.float32)
+        zs = jnp.linspace(z_min, z_max, nz, dtype=jnp.float32)
+        X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        pos = jnp.stack([X, Y, Z], -1)
+        n = normal / jnp.linalg.norm(normal)
+        rel = pos - center
+        proj = pos - (rel @ n)[..., None] * n
+        rad_vec = proj - center
+        rad_len = jnp.linalg.norm(rad_vec, axis=-1)
+        outside_inner = rad_len >= radius - thickness
+        safe = jnp.maximum(rad_len, 1e-12)[..., None]
+        nearest = center + rad_vec / safe * radius
+        close = jnp.linalg.norm(pos - nearest, axis=-1) <= thickness
+        return (outside_inner & close).astype(jnp.float32)
+
+    return build(jnp.asarray(center, jnp.float32),
+                 jnp.asarray(normal, jnp.float32))

@@ -179,6 +179,19 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
 
 # ---- offline smoke rendering (reference 3D/advance_density.py) ----
 
+@functools.lru_cache(maxsize=2)
+def _grid_pts_padded(domain: tuple, grid_shape: tuple, chunk: int):
+    """(pts padded to a whole number of chunks, true count). The 512^3
+    node grid is 1.6 GB of host meshgrid — constant across frames and
+    densities, so build it once (it was ~2 min of single-core numpy PER
+    advected_density call)."""
+    xn, yn, zn = grid_shape
+    pts = np.asarray(grid_points_3d(*domain, xn, yn, zn))
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    return np.concatenate([pts, np.zeros((pad, 3), np.float32)]), n
+
+
 def _suggest_band(mix, spec, dt, tb: int = 1024, tn: int = 512,
                   chunk: int = 262144) -> int:
     """Host-side static band width for field.value_banded: the widest
@@ -232,43 +245,53 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
     Backend: the banded value-only Pallas kernel on TPU (grid nodes are
     spatially coherent, so each query tile visits only a static window of
     Gaussian tiles; the (B, N) kernel matrix never materializes); the
-    gather-based culled path stays for CPU, where Pallas interpret mode is
-    slow."""
-    from gaussian_fluids_tpu.ops import grid as grid_ops
-    from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
+    dense masked sweep on CPU with an N-bounded chunk (Pallas interpret
+    mode and the XLA gather-culled path are both far slower there)."""
     xn, yn, zn = grid_shape
-    pts = grid_points_3d(*domain, xn, yn, zn)
-    lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
-    hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
     use_pallas = jax.default_backend() in ("tpu", "axon")
     args = (mix.params(), mix.alive)
     if use_pallas:
         band = _suggest_band(mix, spec, dt, chunk=chunk)
         step_chunk = _density_step_pallas(spec, tuple(domain), band)
     else:
-        capacity = grid_ops.suggest_capacity(mix, spec)
-        cell_grid = grid_ops.build_grid(mix, spec, capacity)
+        # XLA CPU: the dense masked (B, N) sweep beats the gather-culled
+        # path at EVERY mixture size (measured 1.1 s vs 193 s per 32k
+        # chunk at N=4096 — the (B, K) candidate gathers are an XLA-CPU
+        # compile/runtime pathology). Bound the (B, N) temporaries by
+        # shrinking the chunk with N instead.
+        chunk = min(chunk, max(4096, (1 << 29) // max(mix.capacity, 1)))
+        step_chunk = _density_step_dense(spec, tuple(domain))
 
-        @jax.jit
-        def step_chunk(params, alive, xc, dens, dtj):
-            m = GaussianMixture(params["positions"], params["scalings"],
-                                params["rotations"], params["values"],
-                                alive)
-            bk = rk4_advect_culled(m, spec, xc, -dtj, cell_grid)
-            bk = jnp.clip(bk, lo, hi)
-            return interp.trilinear_interp(dens, bk, domain)
-
+    pts_p, n = _grid_pts_padded(tuple(domain), (xn, yn, zn), chunk)
     dtj = jnp.asarray(dt, jnp.float32)
-    out = np.empty((pts.shape[0],), np.float32)
-    n = pts.shape[0]
-    pad = (-n) % chunk
-    pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-    for i in range(0, n + pad, chunk):
-        out_c = step_chunk(*args, jnp.asarray(pts_p[i:i + chunk]), density,
-                           dtj)
-        out[i:min(i + chunk, n)] = np.asarray(out_c)[: max(0, min(chunk,
-                                                                  n - i))]
-    return jnp.asarray(out.reshape(xn, yn, zn))
+    # dispatch ALL chunks asynchronously and keep every result on device:
+    # fetching each chunk synchronously serialized the whole sweep on
+    # dispatch+transfer round trips (512 chunks at 512^3 — measured ~2.5x
+    # the kernel time on the tunneled runtime). The caller fetches the
+    # final volume once (for the .vti write).
+    outs = [step_chunk(*args, jnp.asarray(pts_p[i:i + chunk]), density,
+                       dtj)
+            for i in range(0, pts_p.shape[0], chunk)]
+    return jnp.concatenate(outs)[:n].reshape(xn, yn, zn)
+
+
+@functools.lru_cache(maxsize=None)
+def _density_step_dense(spec, domain):
+    """Cached jitted semi-Lagrangian chunk step on the dense backend (small
+    mixtures / CPU)."""
+    from gaussian_fluids_tpu.ops.advect import rk4_advect_pos
+    lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
+    hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
+
+    @jax.jit
+    def step(params, alive, xc, dens, dtj):
+        m = GaussianMixture(params["positions"], params["scalings"],
+                            params["rotations"], params["values"], alive)
+        bk = rk4_advect_pos(m, spec, xc, -dtj)
+        bk = jnp.clip(bk, lo, hi)
+        return interp.trilinear_interp(dens, bk, domain)
+
+    return step
 
 
 @functools.lru_cache(maxsize=None)
@@ -325,13 +348,25 @@ def _backtrace_step_pallas(spec, band):
     return bt
 
 
+@functools.lru_cache(maxsize=None)
+def _backtrace_step_dense(spec):
+    """Cached jitted RK4 backtrace chunk (dense backend, small mixtures)."""
+    from gaussian_fluids_tpu.ops.advect import rk4_advect_pos
+
+    @jax.jit
+    def bt(params, alive, xc, dtj):
+        m = GaussianMixture(params["positions"], params["scalings"],
+                            params["rotations"], params["values"], alive)
+        return rk4_advect_pos(m, spec, xc, -dtj)
+
+    return bt
+
+
 def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
                        grid_shape, chunk: int = 262144):
     """Multi-frame re-trace variant (reference 3D/advance_density.py:61-71,
     unused by default): walk grid points back through all n saved velocity
     checkpoints, then sample the INITIAL density once."""
-    from gaussian_fluids_tpu.ops import grid as grid_ops
-    from gaussian_fluids_tpu.ops.advect import rk4_advect_culled
     xn, yn, zn = grid_shape
     pts = grid_points_3d(*spec_domain, xn, yn, zn)
     lo = jnp.asarray([spec_domain[0], spec_domain[2], spec_domain[4]],
@@ -344,26 +379,25 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
         mix, spec = checkpoint.load_checkpoint(
             os.path.join(out_dir, f"gaussian_velocity_{i}.pt"))
         dtj = jnp.asarray(dt, jnp.float32)
+        fchunk = chunk
         if use_pallas:
             band = _suggest_band(mix, spec, dt, chunk=chunk)
             bt_c = _backtrace_step_pallas(spec, band)
             bt = lambda xc: bt_c(mix.params(), mix.alive, xc, dtj)
         else:
-            capacity = grid_ops.suggest_capacity(mix, spec)
-            cell_grid = grid_ops.build_grid(mix, spec, capacity)
+            # dense with N-bounded chunk, as in advected_density
+            fchunk = min(chunk, max(4096, (1 << 29)
+                                    // max(mix.capacity, 1)))
+            bt_c = _backtrace_step_dense(spec)
+            bt = lambda xc: bt_c(mix.params(), mix.alive, xc, dtj)
 
-            @jax.jit
-            def bt(xc):
-                return rk4_advect_culled(mix, spec, xc, -dt, cell_grid)
-
-        out = np.empty_like(x)
         n = x.shape[0]
-        pad = (-n) % chunk
+        pad = (-n) % fchunk
         xp = np.concatenate([x, np.zeros((pad, 3), np.float32)])
-        for s in range(0, n + pad, chunk):
-            out_c = np.asarray(bt(jnp.asarray(xp[s:s + chunk])))
-            out[s:min(s + chunk, n)] = out_c[: max(0, min(chunk, n - s))]
-        x = out
+        # async dispatch, one fetch (see advected_density)
+        outs = [bt(jnp.asarray(xp[s:s + fchunk]))
+                for s in range(0, n + pad, fchunk)]
+        x = np.asarray(jnp.concatenate(outs))[:n]
     x = np.clip(x, np.asarray(lo), np.asarray(hi))
     sampled = interp.trilinear_interp(density0, jnp.asarray(x), spec_domain)
     return sampled.reshape(xn, yn, zn)
