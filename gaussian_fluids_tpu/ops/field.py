@@ -533,11 +533,11 @@ def two_head_grads_centered(params, alive, spec: FieldSpec, x: jnp.ndarray,
     l2, h2_vjp = jax.vjp(functools.partial(head_on_out, head2), out)
     dout1 = _pad_axis(h1_vjp(one)[0], tb, axis=0)
     dout2 = _pad_axis(h2_vjp(one)[0], tb, axis=0)
-    (dmu1, dpp1, dv1), (dmu2, dpp2, dv2) = fused_gsr_centered_bwd2(
+    t1, t2 = fused_gsr_centered_bwd2(
         tmask, x_p, muT, ppT, v_p, dout1, dout2, d, vdim, clamp, tb, tn,
         use_val=heads_use_val)
-    g1 = prep_vjp((dmu1.T, dpp1.T, dv1))[0]
-    g2 = prep_vjp((dmu2.T, dpp2.T, dv2))[0]
+    g1 = prep_vjp(t1)[0]
+    g2 = prep_vjp(t2)[0]
     return (l1, l2), (g1, g2)
 
 
@@ -611,9 +611,9 @@ def epoch_heads_grads_centered(params, alive, spec: FieldSpec,
     t1, t2, t3 = fused_gsr_centered_bwd3(
         tmask, x_p, muT, ppT, v_p, dout1, dout2, dout3, d, vdim, clamp,
         tb, tn, data_rows, use_val12=heads_use_val)
-    g1 = prep_vjp((t1[0].T, t1[1].T, t1[2]))[0]
-    g2 = prep_vjp((t2[0].T, t2[1].T, t2[2]))[0]
-    gb = prep_vjp((t3[0].T, t3[1].T, t3[2]))[0]
+    g1 = prep_vjp(t1)[0]
+    g2 = prep_vjp(t2)[0]
+    gb = prep_vjp(t3)[0]
     return (l1, l2, lb), (g1, g2, gb)
 
 

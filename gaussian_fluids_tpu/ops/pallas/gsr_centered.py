@@ -177,11 +177,19 @@ def _bwd_dx_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
 
 
 def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
-                   dmu_acc, dpp_acc, dv_acc, use_val=True):
+                   dmp_acc, dv_acc, use_val=True):
     """Accumulate (dmu, dPp, dv) for one cotangent block into the scratch
     accumulators, given the shared tile quantities. ``use_val=False``
     promises a zero value cotangent (jac-only heads) and skips its
-    matmuls."""
+    matmuls.
+
+    ``dmp_acc`` is a single PACKED (d + np, TN) row accumulator — rows
+    0..d-1 are dmu (transposed), rows d.. are dPp (transposed, bias row
+    last). Every per-Gaussian reduction is a sublane sum landing as a
+    (1, TN) lane vector added to its row in place; the previous per-column
+    (TN, 1) layout forced a lane->sublane relayout per quantity per grid
+    step (6 in 2D, 10 in 3D — doubled in the dual kernel), which measured
+    ~25% of the backward sweep."""
     gquad, gpd, mg = _bwd_cotangents(g, m, pd, dout, v, njac, vdim,
                                      use_val)
 
@@ -201,8 +209,7 @@ def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
     # dmu_j = -(dL/dx_j summed over the tile's queries), per n
     for jdim in range(d):
         t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
-        dmu_acc[:, jdim:jdim + 1] += -jnp.sum(t, axis=0,
-                                              keepdims=True).T
+        dmp_acc[jdim:jdim + 1, :] += -jnp.sum(t, axis=0, keepdims=True)
 
     # dPp: diagonal d(quad)/dP_ii = delta_i^2, d(Pd_i)/dP_ii = delta_i;
     # off-diag (i<j): d(quad)/dP_ij = 2 delta_i delta_j,
@@ -211,28 +218,27 @@ def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
         t = gquad * delta[k] * delta[k]
         if k < njac:
             t += gpd[k] * delta[k]
-        dpp_acc[:, k:k + 1] += jnp.sum(t, axis=0, keepdims=True).T
+        dmp_acc[d + k:d + k + 1, :] += jnp.sum(t, axis=0, keepdims=True)
     for c, (ii, jj) in enumerate(_off_pairs(d)):
         t = 2.0 * gquad * delta[ii] * delta[jj]
         if ii < njac:
             t += gpd[ii] * delta[jj]
         if jj < njac:
             t += gpd[jj] * delta[ii]
-        dpp_acc[:, d + c:d + c + 1] += jnp.sum(t, axis=0,
-                                               keepdims=True).T
+        dmp_acc[2 * d + c:2 * d + c + 1, :] += jnp.sum(t, axis=0,
+                                                       keepdims=True)
     nb = d * (d + 1) // 2
-    dpp_acc[:, nb:nb + 1] += jnp.sum(gquad, axis=0, keepdims=True).T
+    dmp_acc[d + nb:d + nb + 1, :] += jnp.sum(gquad, axis=0, keepdims=True)
 
 
 def _bwd_dn_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
-                   dmu_ref, dpp_ref, dv_ref, dmu_acc, dpp_acc, dv_acc, *,
+                   dmp_ref, dv_ref, dmp_acc, dv_acc, *,
                    d, vdim, clamp, nsteps, njac):
     jn, i = pl.program_id(0), pl.program_id(1)  # B is the reduction axis
 
     @pl.when(i == 0)
     def _():
-        dmu_acc[:] = jnp.zeros_like(dmu_acc)
-        dpp_acc[:] = jnp.zeros_like(dpp_acc)
+        dmp_acc[:] = jnp.zeros_like(dmp_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     @pl.when(tmask_ref[i, jn] != 0)
@@ -241,20 +247,18 @@ def _bwd_dn_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
         delta, g, m, pd = _tile_quantities(x_ref[:], muT_ref[:], ppT, d,
                                            clamp)
         _dn_accumulate(delta, g, m, pd, ppT, dout_ref[:], v_ref[:], d, vdim,
-                       clamp, njac, dmu_acc, dpp_acc, dv_acc)
+                       clamp, njac, dmp_acc, dv_acc)
 
     @pl.when(i == nsteps - 1)
     def _():
-        dmu_ref[:] = dmu_acc[:]
-        dpp_ref[:] = dpp_acc[:]
+        dmp_ref[:] = dmp_acc[:]
         dv_ref[:] = dv_acc[:]
 
 
 def _bwd_dn2_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
-                    dout2_ref, dmu1_ref, dpp1_ref, dv1_ref, dmu2_ref,
-                    dpp2_ref, dv2_ref, dmu1_acc, dpp1_acc, dv1_acc,
-                    dmu2_acc, dpp2_acc, dv2_acc, *, d, vdim, clamp, nsteps,
-                    njac, use_val):
+                    dout2_ref, dmp1_ref, dv1_ref, dmp2_ref, dv2_ref,
+                    dmp1_acc, dv1_acc, dmp2_acc, dv2_acc, *, d, vdim,
+                    clamp, nsteps, njac, use_val):
     """Dual-cotangent (dmu, dPp, dv) backward: the PCGrad projection needs
     the vorticity-head and divergence-head parameter gradients SEPARATELY
     (reference 2D/advance.py:188-193); two jax.vjp pullbacks would recompute
@@ -264,8 +268,7 @@ def _bwd_dn2_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
 
     @pl.when(i == 0)
     def _():
-        for acc in (dmu1_acc, dpp1_acc, dv1_acc, dmu2_acc, dpp2_acc,
-                    dv2_acc):
+        for acc in (dmp1_acc, dv1_acc, dmp2_acc, dv2_acc):
             acc[:] = jnp.zeros_like(acc)
 
     @pl.when(tmask_ref[i, jn] != 0)
@@ -275,25 +278,22 @@ def _bwd_dn2_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
                                            clamp)
         v = v_ref[:]
         _dn_accumulate(delta, g, m, pd, ppT, dout1_ref[:], v, d, vdim,
-                       clamp, njac, dmu1_acc, dpp1_acc, dv1_acc, use_val)
+                       clamp, njac, dmp1_acc, dv1_acc, use_val)
         _dn_accumulate(delta, g, m, pd, ppT, dout2_ref[:], v, d, vdim,
-                       clamp, njac, dmu2_acc, dpp2_acc, dv2_acc, use_val)
+                       clamp, njac, dmp2_acc, dv2_acc, use_val)
 
     @pl.when(i == nsteps - 1)
     def _():
-        dmu1_ref[:] = dmu1_acc[:]
-        dpp1_ref[:] = dpp1_acc[:]
+        dmp1_ref[:] = dmp1_acc[:]
         dv1_ref[:] = dv1_acc[:]
-        dmu2_ref[:] = dmu2_acc[:]
-        dpp2_ref[:] = dpp2_acc[:]
+        dmp2_ref[:] = dmp2_acc[:]
         dv2_ref[:] = dv2_acc[:]
 
 
 def _bwd_dn3_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
-                    dout2_ref, dout3_ref, dmu1_ref, dpp1_ref, dv1_ref,
-                    dmu2_ref, dpp2_ref, dv2_ref, dmu3_ref, dpp3_ref,
-                    dv3_ref, dmu1_acc, dpp1_acc, dv1_acc, dmu2_acc,
-                    dpp2_acc, dv2_acc, dmu3_acc, dpp3_acc, dv3_acc, *, d,
+                    dout2_ref, dout3_ref, dmp1_ref, dv1_ref, dmp2_ref,
+                    dv2_ref, dmp3_ref, dv3_ref, dmp1_acc, dv1_acc,
+                    dmp2_acc, dv2_acc, dmp3_acc, dv3_acc, *, d,
                     vdim, clamp, nsteps, njac, use_val12, data_tiles):
     """Triple-cotangent backward for the fused projection epoch: blocks 1/2
     are the PCGrad heads' (val, jac) cotangents on the DATA rows (the first
@@ -305,8 +305,8 @@ def _bwd_dn3_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
 
     @pl.when(i == 0)
     def _():
-        for acc in (dmu1_acc, dpp1_acc, dv1_acc, dmu2_acc, dpp2_acc,
-                    dv2_acc, dmu3_acc, dpp3_acc, dv3_acc):
+        for acc in (dmp1_acc, dv1_acc, dmp2_acc, dv2_acc, dmp3_acc,
+                    dv3_acc):
             acc[:] = jnp.zeros_like(acc)
 
     @pl.when(tmask_ref[i, jn] != 0)
@@ -319,24 +319,20 @@ def _bwd_dn3_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout1_ref,
         @pl.when(i < data_tiles)
         def _():
             _dn_accumulate(delta, g, m, pd, ppT, dout1_ref[:], v, d, vdim,
-                           clamp, njac, dmu1_acc, dpp1_acc, dv1_acc,
-                           use_val12)
+                           clamp, njac, dmp1_acc, dv1_acc, use_val12)
             _dn_accumulate(delta, g, m, pd, ppT, dout2_ref[:], v, d, vdim,
-                           clamp, njac, dmu2_acc, dpp2_acc, dv2_acc,
-                           use_val12)
+                           clamp, njac, dmp2_acc, dv2_acc, use_val12)
 
         @pl.when(i >= data_tiles)
         def _():
             _dn_accumulate(delta, g, m, pd, ppT, dout3_ref[:], v, d, vdim,
-                           clamp, 0, dmu3_acc, dpp3_acc, dv3_acc, True)
+                           clamp, 0, dmp3_acc, dv3_acc, True)
 
     @pl.when(i == nsteps - 1)
     def _():
-        for ref, acc in ((dmu1_ref, dmu1_acc), (dpp1_ref, dpp1_acc),
-                         (dv1_ref, dv1_acc), (dmu2_ref, dmu2_acc),
-                         (dpp2_ref, dpp2_acc), (dv2_ref, dv2_acc),
-                         (dmu3_ref, dmu3_acc), (dpp3_ref, dpp3_acc),
-                         (dv3_ref, dv3_acc)):
+        for ref, acc in ((dmp1_ref, dmp1_acc), (dv1_ref, dv1_acc),
+                         (dmp2_ref, dmp2_acc), (dv2_ref, dv2_acc),
+                         (dmp3_ref, dmp3_acc), (dv3_ref, dv3_acc)):
             ref[:] = acc[:]
 
 
@@ -344,22 +340,28 @@ def fused_gsr_centered_bwd3(tmask, x, muT, ppT, values, dout1, dout2,
                             dout3, d, vdim, clamp, tb, tn, data_rows,
                             njac=-1, use_val12=False):
     """Parameter cotangents for the fused [data; boundary] epoch geometry:
-    ((dmu1, dpp1, dv1), (dmu2, dpp2, dv2), (dmu3, dpp3, dv3)) in ONE
+    ((dmuT1, dppT1, dv1), (dmuT2, dppT2, dv2), (dmuT3, dppT3, dv3)) in ONE
     B-sweep. ``x`` is the concatenation of data rows (cotangent blocks 1/2,
     (val, jac) columns, zero outside the data rows) and boundary rows
     (block 3, value-only cotangent, zero outside the boundary rows);
-    ``data_rows`` must be a multiple of tb. Layout as bwd2 (not
-    transposed)."""
+    ``data_rows`` must be a multiple of tb. dmuT/dppT come back TRANSPOSED
+    — (d, N) / (np, N), matching the kernel's input layout — from a packed
+    row accumulator (see _dn_accumulate); dv is (N, vdim)."""
     njac = d if njac < 0 else njac
     assert use_val12 or njac >= 1
     B = x.shape[0]
     N = muT.shape[1]
     np_ = ppT.shape[0]
+    nmp = d + np_
     cols = (1 + njac) * vdim
     assert data_rows % tb == 0, (data_rows, tb)
     assert dout1.shape == (B, cols) and dout2.shape == (B, cols), (
         dout1.shape, dout2.shape, B, cols)
     assert dout3.shape == (B, vdim), (dout3.shape, B, vdim)
+    dmp_spec = pl.BlockSpec((nmp, tn), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    dv_spec = pl.BlockSpec((tn, vdim), lambda j, i: (j, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_bwd_dn3_kernel, d=d, vdim=vdim, clamp=clamp,
                           nsteps=B // tb, njac=njac, use_val12=use_val12,
@@ -382,19 +384,16 @@ def fused_gsr_centered_bwd3(tmask, x, muT, ppT, values, dout1, dout2,
             pl.BlockSpec((tb, vdim), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(
-            pl.BlockSpec((tn, w), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM)
-            for w in (d, np_, vdim) * 3),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((N, w), jnp.float32)
-            for w in (d, np_, vdim) * 3),
-        scratch_shapes=[pltpu.VMEM((tn, w), jnp.float32)
-                        for w in (d, np_, vdim) * 3],
+        out_specs=(dmp_spec, dv_spec) * 3,
+        out_shape=(jax.ShapeDtypeStruct((nmp, N), jnp.float32),
+                   jax.ShapeDtypeStruct((N, vdim), jnp.float32)) * 3,
+        scratch_shapes=[pltpu.VMEM((nmp, tn), jnp.float32),
+                        pltpu.VMEM((tn, vdim), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=_interpret(),
     )(tmask, x, muT, ppT, values, dout1, dout2, dout3)
-    return out[:3], out[3:6], out[6:]
+    return tuple((out[2 * b][:d], out[2 * b][d:], out[2 * b + 1])
+                 for b in range(3))
 
 
 def _fwd(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac):
@@ -458,7 +457,7 @@ def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac,
         interpret=_interpret(),
     )(tmask, x, muT, ppT, values, dout)
 
-    dmu, dpp, dv = pl.pallas_call(
+    dmp, dv = pl.pallas_call(
         functools.partial(_bwd_dn_kernel, d=d, vdim=vdim, clamp=clamp,
                           nsteps=B // tb, njac=njac),
         grid=(N // tn, B // tb),
@@ -476,42 +475,43 @@ def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tn, d), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, np_), lambda j, i: (j, 0),
+            pl.BlockSpec((d + np_, tn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, vdim), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((N, d), jnp.float32),
-                   jax.ShapeDtypeStruct((N, np_), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((d + np_, N), jnp.float32),
                    jax.ShapeDtypeStruct((N, vdim), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((tn, d), jnp.float32),
-                        pltpu.VMEM((tn, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((d + np_, tn), jnp.float32),
                         pltpu.VMEM((tn, vdim), jnp.float32)],
         interpret=_interpret(),
     )(tmask, x, muT, ppT, values, dout)
     if dx is None:
         dx = jnp.zeros_like(x)
-    return dx, dmu, dpp, dv
+    return dx, dmp[:d], dmp[d:], dv
 
 
 def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
                             d, vdim, clamp, tb, tn, njac=-1,
                             use_val=True):
     """Parameter cotangents for TWO output cotangent blocks in ONE B-sweep
-    (shared tile recompute). Returns ((dmu1, dpp1, dv1), (dmu2, dpp2, dv2))
-    with dmu (N, d), dpp (N, np), dv (N, vdim) — NOT transposed (callers
-    pulling back through the transposed layout must .T themselves). No dx
+    (shared tile recompute). Returns ((dmuT1, dppT1, dv1), (dmuT2, dppT2,
+    dv2)) with dmuT (d, N), dppT (np, N) TRANSPOSED — already in the
+    kernel-input layout the prep VJP consumes — and dv (N, vdim). No dx
     (training epochs treat x as a constant of the loss)."""
     njac = d if njac < 0 else njac
     assert use_val or njac >= 1
     B = x.shape[0]
     N = muT.shape[1]
     np_ = ppT.shape[0]
+    nmp = d + np_
     cols = (1 + njac) * vdim
     assert dout1.shape == (B, cols) and dout2.shape == (B, cols), (
         dout1.shape, dout2.shape, B, cols)
+    dmp_spec = pl.BlockSpec((nmp, tn), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    dv_spec = pl.BlockSpec((tn, vdim), lambda j, i: (j, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_bwd_dn2_kernel, d=d, vdim=vdim, clamp=clamp,
                           nsteps=B // tb, njac=njac, use_val=use_val),
@@ -531,15 +531,11 @@ def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
             pl.BlockSpec((tb, cols), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(
-            pl.BlockSpec((tn, w), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM)
-            for w in (d, np_, vdim, d, np_, vdim)),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((N, w), jnp.float32)
-            for w in (d, np_, vdim, d, np_, vdim)),
-        scratch_shapes=[pltpu.VMEM((tn, w), jnp.float32)
-                        for w in (d, np_, vdim, d, np_, vdim)],
+        out_specs=(dmp_spec, dv_spec) * 2,
+        out_shape=(jax.ShapeDtypeStruct((nmp, N), jnp.float32),
+                   jax.ShapeDtypeStruct((N, vdim), jnp.float32)) * 2,
+        scratch_shapes=[pltpu.VMEM((nmp, tn), jnp.float32),
+                        pltpu.VMEM((tn, vdim), jnp.float32)] * 2,
         # the dual kernel's working set sits just over the 16 MB default
         # scoped-vmem budget at 3D production scale (N=64k, B=8192:
         # 17.4 MB); the chip has 128 MB — raise the compiler budget rather
@@ -547,7 +543,8 @@ def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=_interpret(),
     )(tmask, x, muT, ppT, values, dout1, dout2)
-    return out[:3], out[3:]
+    return ((out[0][:d], out[0][d:], out[1]),
+            (out[2][:d], out[2][d:], out[3]))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
@@ -577,9 +574,9 @@ def _fwd_rule(tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac=-1,
 def _bwd_rule(d, vdim, clamp, tb, tn, njac, need_dx, res, dout):
     njac = d if njac < 0 else njac
     tmask, x, muT, ppT, values = res
-    dx, dmu, dpp, dv = _bwd(tmask, x, muT, ppT, values, dout, d, vdim,
-                            clamp, tb, tn, njac, need_dx)
-    return jnp.zeros_like(tmask), dx, dmu.T, dpp.T, dv
+    dx, dmuT, dppT, dv = _bwd(tmask, x, muT, ppT, values, dout, d, vdim,
+                              clamp, tb, tn, njac, need_dx)
+    return jnp.zeros_like(tmask), dx, dmuT, dppT, dv
 
 
 fused_gsr_centered.defvjp(_fwd_rule, _bwd_rule)

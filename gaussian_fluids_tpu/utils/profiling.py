@@ -28,8 +28,25 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def hard_sync(tree):
+    """Device-completion barrier that actually waits.
+
+    ``jax.block_until_ready`` returns BEFORE remote execution completes on
+    the tunneled TPU runtime (axon) — async dispatch loops appear to
+    "finish" in microseconds while kernels are still running. Fetching a
+    concrete VALUE cannot lie: pull one element of every array leaf to the
+    host. Use this (not block_until_ready) to bound any timed region."""
+    import numpy as np
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "shape"):
+            for _ in range(getattr(leaf, "ndim", 0)):
+                leaf = leaf[0]
+            np.asarray(leaf)
+    return tree
+
+
 class StepTimer:
-    """Named wall-clock phase timer with block-until-ready semantics."""
+    """Named wall-clock phase timer with value-fetch sync semantics."""
 
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
@@ -42,7 +59,7 @@ class StepTimer:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                hard_sync(sync)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

@@ -12,6 +12,7 @@ from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import covector, losses, optim
 from gaussian_fluids_tpu.scenes import get_scene_2d
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 B = 512
 scene = get_scene_2d("leapfrog")
@@ -90,7 +91,7 @@ for n_side in (int(s) for s in
                              ("pallas", True)):
         run, carry0 = build(n_side, backend, do_sort)
         c, _ = run(carry0, key)
-        jax.block_until_ready(c[0]["positions"])
+        hard_sync(c[0]["positions"])
         variants.append((f"{backend}{'+sort' if do_sort else ''}",
                          run, carry0))
     times = {name: [] for name, _, _ in variants}
@@ -100,7 +101,7 @@ for n_side in (int(s) for s in
             t0 = time.perf_counter()
             c, _ = run(c, key)
             c, _ = run(c, key)
-            jax.block_until_ready(c[0]["positions"])
+            hard_sync(c[0]["positions"])
             times[name].append((time.perf_counter() - t0) / 200 * 1e6)
     n = n_side * n_side
     msg = f"N={n:6d} (BN={B * n / 1e6:5.1f}M): "

@@ -13,6 +13,7 @@ import numpy as np
 
 from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 REPS = 50
 
@@ -33,10 +34,10 @@ def bench_scan(step, init_carry, xs):
     """Time jit(scan(step)) over xs; returns ms per step."""
     f = jax.jit(lambda c, xs: jax.lax.scan(step, c, xs)[0])
     c = f(init_carry, xs)               # compile + warm
-    jax.block_until_ready(c)
+    hard_sync(c)
     t0 = time.perf_counter()
     c = f(init_carry, xs)
-    jax.block_until_ready(c)
+    hard_sync(c)
     np.asarray(jax.tree_util.tree_leaves(c)[0])   # force host fetch
     return (time.perf_counter() - t0) / xs.shape[0] * 1e3
 

@@ -12,6 +12,7 @@ import numpy as np
 from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.ops.pallas import gsr_centered as gc
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 TB = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 TN = int(sys.argv[2]) if len(sys.argv) > 2 else 512
@@ -54,12 +55,12 @@ def dual(dout1, dout2):
 
 def timeit(f, label):
     out = f(dout1, dout2)
-    jax.block_until_ready(out)
+    hard_sync(out)
     reps = 50
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(dout1, dout2)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = (time.perf_counter() - t0) / reps * 1e3
     print(f"tb={TB} tn={TN} {label}: {dt:.3f} ms")
     return out

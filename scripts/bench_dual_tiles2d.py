@@ -10,6 +10,7 @@ import numpy as np
 from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.ops.pallas import gsr_centered as gc
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 N_SIDE, B, D = 71, 512, 2
 xs = np.linspace(-5, 5, N_SIDE, dtype=np.float32)
@@ -52,7 +53,7 @@ for tb, tn, uv in ((256, 512, True), (256, 512, False), (512, 512, False),
     try:
         f = mk()
         r = f(d1, d2)
-        jax.block_until_ready(r[0][0])
+        hard_sync(r[0][0])
         variants.append((f"tb={tb:4d} tn={tn:4d} val={int(uv)}", f, d1, d2))
     except Exception as e:
         print(f"tb={tb} tn={tn}: FAIL {type(e).__name__}")
@@ -63,7 +64,7 @@ for r in range(6):
         t0 = time.perf_counter()
         for _ in range(50):
             out = f(d1, d2)
-        jax.block_until_ready(out[0][0])
+        hard_sync(out[0][0])
         times[name].append((time.perf_counter() - t0) / 50 * 1e6)
 for name, *_ in variants:
     ts = sorted(times[name])

@@ -14,6 +14,7 @@ from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.ops.advect import rk4_advect, rk4_advect_pos
 from gaussian_fluids_tpu.solver import covector, losses, optim
 from gaussian_fluids_tpu.scenes import get_scene_2d
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 N_SIDE = int(os.environ.get("GF_AB_NSIDE", "71"))
 B = int(os.environ.get("GF_AB_B", "512"))
@@ -109,7 +110,7 @@ carry0 = (params, opt_state, mix.alive)
 # compile + warm all variants first
 for name, run in variants:
     c, _ = run(carry0, key)
-    jax.block_until_ready(c[0]["positions"])
+    hard_sync(c[0]["positions"])
 
 ROUNDS = 7
 times = {name: [] for name, _ in variants}
@@ -119,7 +120,7 @@ for r in range(ROUNDS):
         t0 = time.perf_counter()
         c, _ = run(c, key)
         c, _ = run(c, key)
-        jax.block_until_ready(c[0]["positions"])
+        hard_sync(c[0]["positions"])
         times[name].append((time.perf_counter() - t0) / 200 * 1e6)
 
 for name, _ in variants:

@@ -10,6 +10,7 @@ from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import covector, losses, optim
 from gaussian_fluids_tpu.scenes import get_scene_2d
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 N_SIDE, B = 71, 512
 scene = get_scene_2d("leapfrog")
@@ -108,9 +109,9 @@ for label, kw in variants:
     run = make_runner(**kw)
     carry = (params, opt_state, mix.alive)
     carry, _ = run(carry, key)
-    jax.block_until_ready(carry[0]["positions"])
+    hard_sync(carry[0]["positions"])
     t0 = time.perf_counter()
     carry, _ = run(carry, key)
-    jax.block_until_ready(carry[0]["positions"])
+    hard_sync(carry[0]["positions"])
     dtv = (time.perf_counter() - t0) / 100 * 1e6
     print(f"{label:22s} {dtv:8.1f} us/epoch")

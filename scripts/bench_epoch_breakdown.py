@@ -10,6 +10,7 @@ from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.ops.advect import rk4_advect
 from gaussian_fluids_tpu.solver import covector
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 N_SIDE, B = 71, 512
 xs = np.linspace(-5, 5, N_SIDE, dtype=np.float32)
@@ -28,12 +29,12 @@ params, alive = mix.params(), mix.alive
 def timeit(label, f, *args):
     g = jax.jit(f)
     out = g(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     reps = 300
     t0 = time.perf_counter()
     for _ in range(reps):
         out = g(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     print(f"{label:34s} {(time.perf_counter() - t0) / reps * 1e6:9.1f} us")
 
 

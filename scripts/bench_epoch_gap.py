@@ -13,6 +13,7 @@ from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import covector, losses, optim
 from gaussian_fluids_tpu.solver.project import ProjectWeights
 from gaussian_fluids_tpu.scenes import get_scene_2d
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 N_SIDE, B = 71, 512
 scene = get_scene_2d("leapfrog")
@@ -116,7 +117,7 @@ variants = [
 ]
 for name, (run, carry0) in variants:
     c, _ = run(carry0, key)
-    jax.block_until_ready(c[0]["positions"])
+    hard_sync(c[0]["positions"])
 
 times = {name: [] for name, _ in variants}
 for r in range(6):
@@ -125,7 +126,7 @@ for r in range(6):
         t0 = time.perf_counter()
         c, _ = run(c, key)
         c, _ = run(c, key)
-        jax.block_until_ready(c[0]["positions"])
+        hard_sync(c[0]["positions"])
         times[name].append((time.perf_counter() - t0) / 200 * 1e6)
 for name, _ in variants:
     ts = sorted(times[name])

@@ -4,6 +4,7 @@ from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.scenes import get_scene_2d
 from gaussian_fluids_tpu.solver import optim
 from gaussian_fluids_tpu.solver.project import ProjectWeights, _runner_2d
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 scene = get_scene_2d("karman")
 sf = scene.scaling_factor
@@ -26,9 +27,9 @@ carry = (params, ostate, mix.alive, jax.lax.stop_gradient(mix.positions),
          mix.params(), mix.alive, adv, jnp.asarray(0.05, jnp.float32))
 key = jax.random.PRNGKey(0)
 carry, _ = run_chunk(carry, key, 50)
-jax.block_until_ready(carry[0]["positions"])
+hard_sync(carry[0]["positions"])
 t0 = time.perf_counter()
 carry, _ = run_chunk(carry, key, 200)
-jax.block_until_ready(carry[0]["positions"]); np.asarray(carry[0]["positions"][0])
+hard_sync(carry[0]["positions"]); np.asarray(carry[0]["positions"][0])
 dt = time.perf_counter()-t0
 print(f"karman2d epoch backend={backend}: {dt/200*1e3:.2f} ms/epoch", flush=True)

@@ -14,6 +14,7 @@ import numpy as np
 from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.solver import optim
 from gaussian_fluids_tpu.solver.project import ProjectWeights, _runner_3d
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 N_SIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 BATCH = 8192
@@ -37,10 +38,10 @@ key = jax.random.PRNGKey(0)
 
 EP = 100
 carry, _ = run_chunk(carry, key, EP)   # compile + warm (same static n!)
-jax.block_until_ready(carry[0]["positions"])
+hard_sync(carry[0]["positions"])
 t0 = time.perf_counter()
 carry, _ = run_chunk(carry, key, EP)
-jax.block_until_ready(carry[0]["positions"])
+hard_sync(carry[0]["positions"])
 np.asarray(carry[0]["positions"][0])
 dt = time.perf_counter() - t0
 print(f"backend={os.environ.get('GF_FIELD_BACKEND', 'auto')} N={pos.shape[0]}"

@@ -10,6 +10,7 @@ import numpy as np
 
 from gaussian_fluids_tpu import FieldSpec, GaussianMixture
 from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.utils.profiling import hard_sync
 
 REPS = 30
 
@@ -29,10 +30,10 @@ def make(n_side, d, vdim):
 def bench_scan(step, init_carry, xs):
     f = jax.jit(lambda c, xs: jax.lax.scan(step, c, xs)[0])
     c = f(init_carry, xs)
-    jax.block_until_ready(c)
+    hard_sync(c)
     t0 = time.perf_counter()
     c = f(init_carry, xs)
-    jax.block_until_ready(c)
+    hard_sync(c)
     np.asarray(jax.tree_util.tree_leaves(c)[0])
     return (time.perf_counter() - t0) / xs.shape[0] * 1e3
 
