@@ -403,6 +403,42 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
     return sampled.reshape(xn, yn, zn)
 
 
+class _AsyncVtiWriter:
+    """Single-slot pipelined .vti writer: fetch-to-host + file write run on
+    a background thread so they overlap the NEXT density's on-device chunk
+    dispatch. At 512^3 the host transfer of the 512 MB volume over the
+    tunneled runtime plus the write dominate the frame time (BASELINE.md);
+    overlapping them with compute hides most of that tail. Single-slot so
+    at most one extra host volume is alive at a time."""
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self._pending = None
+        self._error = None
+
+    def submit(self, dev_array, origin, spacing, path):
+        self.drain()
+
+        def work():
+            try:
+                vti.write_vti_array(np.asarray(dev_array), origin, spacing,
+                                    path)
+            except BaseException as e:  # re-raised on the caller's thread
+                self._error = e
+
+        self._pending = self._threading.Thread(target=work)
+        self._pending.start()
+
+    def drain(self):
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
+
+
 def advance_density(init_cond: str, out_dir: str, dt: float,
                     res_multiplier: int = 4, grid_res=None,
                     verbose: int = 1):
@@ -428,10 +464,11 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
                     for i, s in enumerate((xn, yn, zn)))
     origin = (domain[0], domain[2], domain[4])
     frame = 0
-    vti.write_vti_array(np.asarray(d1), origin, spacing,
-                        os.path.join(out_dir, f"density_a_{frame}.vti"))
-    vti.write_vti_array(np.asarray(d2), origin, spacing,
-                        os.path.join(out_dir, f"density_b_{frame}.vti"))
+    writer = _AsyncVtiWriter()
+    writer.submit(d1, origin, spacing,
+                  os.path.join(out_dir, f"density_a_{frame}.vti"))
+    writer.submit(d2, origin, spacing,
+                  os.path.join(out_dir, f"density_b_{frame}.vti"))
     while True:
         path = os.path.join(out_dir, f"gaussian_velocity_{frame}.pt")
         if not os.path.exists(path):
@@ -439,10 +476,11 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
         mix, spec = checkpoint.load_checkpoint(path)
         frame += 1
         d1 = advected_density(d1, mix, spec, domain, dt, (xn, yn, zn))
+        writer.submit(d1, origin, spacing,
+                      os.path.join(out_dir, f"density_a_{frame}.vti"))
         d2 = advected_density(d2, mix, spec, domain, dt, (xn, yn, zn))
-        vti.write_vti_array(np.asarray(d1), origin, spacing,
-                            os.path.join(out_dir, f"density_a_{frame}.vti"))
-        vti.write_vti_array(np.asarray(d2), origin, spacing,
-                            os.path.join(out_dir, f"density_b_{frame}.vti"))
+        writer.submit(d2, origin, spacing,
+                      os.path.join(out_dir, f"density_b_{frame}.vti"))
         if verbose:
             print(f"Frame {frame} finished.")
+    writer.drain()
