@@ -189,7 +189,24 @@ def _grid_pts_padded(domain: tuple, grid_shape: tuple, chunk: int):
     pts = np.asarray(grid_points_3d(*domain, xn, yn, zn))
     n = pts.shape[0]
     pad = (-n) % chunk
-    return np.concatenate([pts, np.zeros((pad, 3), np.float32)]), n
+    # pad by replicating the last node: grid_points_3d is x-slowest, so the
+    # whole padded array stays globally sorted by x and the banded sweep
+    # can run presorted with no per-chunk argsort (padded outputs are
+    # discarded by the caller).
+    return np.concatenate([pts, np.repeat(pts[-1:], pad, 0)]), n
+
+
+@functools.lru_cache(maxsize=2)
+def _grid_chunks_device(domain: tuple, grid_shape: tuple, chunk: int):
+    """Device-resident query-point chunks for the density sweep. The grid
+    nodes are constant across frames AND densities, but uploading them per
+    sweep cost 1.6 GB of host->device traffic per density at 512^3 — ~3 min
+    per density on the ~8 MB/s tunneled runtime, the single largest term of
+    the replay frame time. Upload once per process and reuse."""
+    pts_p, n = _grid_pts_padded(domain, grid_shape, chunk)
+    chunks = [jax.device_put(pts_p[i:i + chunk])
+              for i in range(0, pts_p.shape[0], chunk)]
+    return chunks, n
 
 
 def _suggest_band(mix, spec, dt, tb: int = 1024, tn: int = 512,
@@ -252,7 +269,9 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
     args = (mix.params(), mix.alive)
     if use_pallas:
         band = _suggest_band(mix, spec, dt, chunk=chunk)
-        step_chunk = _density_step_pallas(spec, tuple(domain), band)
+        # grid chunks are x-sorted by construction -> skip the argsort
+        step_chunk = _density_step_pallas(spec, tuple(domain), band,
+                                          sorted_input=True)
     else:
         # XLA CPU: the dense masked (B, N) sweep beats the gather-culled
         # path at EVERY mixture size (measured 1.1 s vs 193 s per 32k
@@ -262,16 +281,14 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
         chunk = min(chunk, max(4096, (1 << 29) // max(mix.capacity, 1)))
         step_chunk = _density_step_dense(spec, tuple(domain))
 
-    pts_p, n = _grid_pts_padded(tuple(domain), (xn, yn, zn), chunk)
+    xcs, n = _grid_chunks_device(tuple(domain), (xn, yn, zn), chunk)
     dtj = jnp.asarray(dt, jnp.float32)
     # dispatch ALL chunks asynchronously and keep every result on device:
     # fetching each chunk synchronously serialized the whole sweep on
     # dispatch+transfer round trips (512 chunks at 512^3 — measured ~2.5x
     # the kernel time on the tunneled runtime). The caller fetches the
     # final volume once (for the .vti write).
-    outs = [step_chunk(*args, jnp.asarray(pts_p[i:i + chunk]), density,
-                       dtj)
-            for i in range(0, pts_p.shape[0], chunk)]
+    outs = [step_chunk(*args, xc, density, dtj) for xc in xcs]
     return jnp.concatenate(outs)[:n].reshape(xn, yn, zn)
 
 
@@ -295,12 +312,13 @@ def _density_step_dense(spec, domain):
 
 
 @functools.lru_cache(maxsize=None)
-def _density_step_pallas(spec, domain, band):
+def _density_step_pallas(spec, domain, band, sorted_input: bool = False):
     """Cached jitted semi-Lagrangian chunk step — fresh closures re-lower
     per frame, which costs tens of seconds on the tunneled runtime (see
-    ops/field.py eval_on_grid note). Queries are sorted once per chunk and
-    the RK4 stages use presorted banded evaluations (stage drift is covered
-    by the band margin in _suggest_band)."""
+    ops/field.py eval_on_grid note). Queries are sorted once per chunk
+    (skipped entirely for ``sorted_input`` — grid-node chunks are x-sorted
+    by construction) and the RK4 stages use presorted banded evaluations
+    (stage drift is covered by the band margin in _suggest_band)."""
     from gaussian_fluids_tpu.ops import field as field_ops
     lo = jnp.asarray([domain[0], domain[2], domain[4]], jnp.float32)
     hi = jnp.asarray([domain[1], domain[3], domain[5]], jnp.float32)
@@ -309,9 +327,12 @@ def _density_step_pallas(spec, domain, band):
     def step(params, alive, xc, dens, dtj):
         m = GaussianMixture(params["positions"], params["scalings"],
                             params["rotations"], params["values"], alive)
-        order = jnp.argsort(xc[:, 0])
-        inv = jnp.argsort(order)
-        xs = xc[order]
+        if sorted_input:
+            xs = xc
+        else:
+            order = jnp.argsort(xc[:, 0])
+            inv = jnp.argsort(order)
+            xs = xc[order]
         f = lambda q: field_ops.value_banded(m, spec, q, band,
                                              presorted=True)
         v = f(xs)
@@ -319,7 +340,9 @@ def _density_step_pallas(spec, domain, band):
         v2 = f(xs + -dtj * 0.5 * v1)
         v3 = f(xs + -dtj * v2)
         bk = xs + -dtj / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
-        bk = jnp.clip(bk, lo, hi)[inv]
+        bk = jnp.clip(bk, lo, hi)
+        if not sorted_input:
+            bk = bk[inv]
         return interp.trilinear_interp(dens, bk, domain)
 
     return step

@@ -120,6 +120,26 @@ def test_density_pipeline_tiny(tmp_path):
     assert d1.sum() > 0  # the ring moved but did not vanish
 
 
+def test_density_grid_chunks_sorted_and_cached():
+    """The density sweep skips the per-chunk argsort because grid-node
+    chunks are globally x-sorted by construction (including the replicated
+    last-point padding) — guard that invariant, and that the device chunk
+    cache reuses buffers across calls (the 512^3 upload is ~1.6 GB)."""
+    from gaussian_fluids_tpu.solver.simulate3d import (_grid_chunks_device,
+                                                       _grid_pts_padded)
+    domain = (0.0, 1.0, 0.0, 2.0, 0.0, 1.0)
+    pts, n = _grid_pts_padded(domain, (7, 5, 3), 16)
+    assert pts.shape[0] % 16 == 0 and n == 7 * 5 * 3
+    assert np.all(np.diff(pts[:, 0]) >= 0)       # sorted incl. padding
+    assert np.all(pts[n:] == pts[n - 1])         # pad = last node
+    c1, n1 = _grid_chunks_device(domain, (7, 5, 3), 16)
+    c2, n2 = _grid_chunks_device(domain, (7, 5, 3), 16)
+    assert n1 == n2 == n
+    assert all(a is b for a, b in zip(c1, c2))   # cached, not re-uploaded
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(c) for c in c1]), pts)
+
+
 @pytest.mark.slow
 def test_e2e_3d_tiny(tmp_path):
     from gaussian_fluids_tpu.solver.simulate3d import (advance_3d,
