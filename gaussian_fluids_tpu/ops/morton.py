@@ -1,0 +1,141 @@
+"""Morton (Z-order) spatial sorting for the block-sparse kernel backend.
+
+The centered Pallas kernel skips (query-tile x gaussian-tile) pairs whose
+bounding boxes cannot interact (ops/field.py `_tile_mask` — the TPU
+replacement for the reference's uniform search grid, 2D/GSR.py:224-229).
+The mask test is exact in ALL dimensions, but with plain coordinate-0
+sorting a tile of TN consecutive Gaussians spans the full extent of every
+other dimension, so the mask can only cull along x (measured ~13% density
+at ring_collide 3D scale). Ordering rows along a Z-order space-filling
+curve makes every tile spatially compact in all d dimensions, which
+tightens the same mask severalfold with no change to kernel semantics
+(evaluations are order-invariant sums; callers unsort results).
+
+The banded density-backtrace kernel (ops/field.py `value_banded`) is the
+one consumer that structurally requires coordinate-0 order (its per-tile
+window starts come from x overlap) — that path keeps the x sort.
+
+Keys: positions are normalized to the data's own bounding box, quantized
+to 16 (2D) / 10 (3D) bits per dimension, and bit-interleaved into a
+uint32 via the standard parallel-prefix spreads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+_U = jnp.uint32
+
+
+def _part1by1(x):
+    """Spread 16 bits of x to the even bit positions (x -> x_0 0 x_1 0 ...)."""
+    x = x & _U(0x0000FFFF)
+    x = (x | (x << 8)) & _U(0x00FF00FF)
+    x = (x | (x << 4)) & _U(0x0F0F0F0F)
+    x = (x | (x << 2)) & _U(0x33333333)
+    x = (x | (x << 1)) & _U(0x55555555)
+    return x
+
+
+def _part1by2(x):
+    """Spread 10 bits of x to every third bit position."""
+    x = x & _U(0x000003FF)
+    x = (x | (x << 16)) & _U(0x030000FF)
+    x = (x | (x << 8)) & _U(0x0300F00F)
+    x = (x | (x << 4)) & _U(0x030C30C3)
+    x = (x | (x << 2)) & _U(0x09249249)
+    return x
+
+
+def morton_key(x: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray
+               ) -> jnp.ndarray:
+    """(B,) uint32 Z-order key of points x (B, d) within box [lo, hi].
+
+    Points outside the box are clamped onto it (their keys collapse to the
+    boundary cells — ordering degrades gracefully, correctness is
+    unaffected since the tile mask is exact for any order).
+    """
+    d = x.shape[-1]
+    span = jnp.maximum(hi - lo, 1e-6)
+    u = jnp.clip((x - lo) / span, 0.0, 1.0)
+    if d == 2:
+        q = jnp.minimum((u * 65536.0).astype(_U), _U(65535))
+        return (_part1by1(q[..., 1]) << 1) | _part1by1(q[..., 0])
+    if d == 3:
+        q = jnp.minimum((u * 1024.0).astype(_U), _U(1023))
+        return ((_part1by2(q[..., 2]) << 2) | (_part1by2(q[..., 1]) << 1)
+                | _part1by2(q[..., 0]))
+    raise ValueError(f"morton_key supports d in (2, 3); got {d}")
+
+
+def morton_order(x: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+    """Permutation sorting rows of x (B, d) along the Z-order curve of
+    their own bounding box; rows with ``valid == False`` sort last.
+    Jittable (the box is data-dependent, which is fine — keys only affect
+    ordering)."""
+    if valid is not None:
+        v = valid[:, None]
+        lo = jnp.min(jnp.where(v, x, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(v, x, -jnp.inf), axis=0)
+        # empty/degenerate boxes: fall back to zeros (any order is correct)
+        ok = jnp.isfinite(lo) & jnp.isfinite(hi)
+        lo = jnp.where(ok, lo, 0.0)
+        hi = jnp.where(ok, hi, 1.0)
+    else:
+        lo = jnp.min(x, axis=0)
+        hi = jnp.max(x, axis=0)
+    key = morton_key(x, lo, hi)
+    if valid is not None:
+        key = jnp.where(valid, key, _U(0xFFFFFFFF))
+    # stable sort keeps equal-key (e.g. dead) rows in original order
+    return jnp.argsort(key, stable=True)
+
+
+def sort_queries(x: jnp.ndarray) -> jnp.ndarray:
+    """x reordered along the Z-order curve — the per-epoch query sort for
+    the block-sparse backend (drop-in for ``x[argsort(x[:, 0])]``; callers
+    pass ``presorted=True`` downstream, whose only contract is spatial
+    coherence, never correctness)."""
+    return x[morton_order(x)]
+
+
+def morton_order_np(x: np.ndarray) -> np.ndarray:
+    """Host-side twin of :func:`morton_order` (no valid mask) for the
+    numpy re-packing paths (solver/clone.py)."""
+    x = np.asarray(x, np.float32)   # f32 to match the jax twin bit-for-bit
+    lo = x.min(axis=0)
+    hi = x.max(axis=0)
+    span = np.maximum(hi - lo, np.float32(1e-6))
+    u = np.clip((x - lo) / span, np.float32(0.0), np.float32(1.0))
+    d = x.shape[-1]
+
+    def spread1(q):
+        q = q.astype(np.uint32) & 0x0000FFFF
+        q = (q | (q << 8)) & 0x00FF00FF
+        q = (q | (q << 4)) & 0x0F0F0F0F
+        q = (q | (q << 2)) & 0x33333333
+        q = (q | (q << 1)) & 0x55555555
+        return q
+
+    def spread2(q):
+        q = q.astype(np.uint32) & 0x000003FF
+        q = (q | (q << 16)) & 0x030000FF
+        q = (q | (q << 8)) & 0x0300F00F
+        q = (q | (q << 4)) & 0x030C30C3
+        q = (q | (q << 2)) & 0x09249249
+        return q
+
+    if d == 2:
+        q = np.minimum((u * 65536.0).astype(np.uint32), 65535)
+        key = (spread1(q[:, 1]) << 1) | spread1(q[:, 0])
+    elif d == 3:
+        q = np.minimum((u * 1024.0).astype(np.uint32), 1023)
+        key = ((spread2(q[:, 2]) << 2) | (spread2(q[:, 1]) << 1)
+               | spread2(q[:, 0]))
+    else:
+        raise ValueError(f"morton_order_np supports d in (2, 3); got {d}")
+    return np.argsort(key, kind="stable")
