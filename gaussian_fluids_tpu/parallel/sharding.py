@@ -33,6 +33,15 @@ from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import losses, optim
 
 
+def _shard_map():
+    try:
+        from jax import shard_map as _sm  # new API (check_vma kwarg)
+        return functools.partial(_sm, check_vma=False)
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+        return functools.partial(_sm, check_rep=False)
+
+
 def make_mesh(n_batch: Optional[int] = None,
               n_gauss: int = 1) -> Mesh:
     """Build a (batch, gauss) mesh over the first n_batch*n_gauss devices."""
@@ -146,6 +155,39 @@ def dryrun(n_devices: int, batch: int = 64, n_gaussians: int = 128) -> None:
         1.0, abs(float(total))), (float(total), float(total2))
     print(f"[parallel.dryrun] shard_map step loss={float(total2):.6f} OK")
 
+    # and the FULL sharded projection epoch (the per-frame PDE solve:
+    # covector RK4 target + dual heads + PCGrad + boundary + Adam) — the
+    # production hot loop, not just the fit epoch.
+    from jax.sharding import PartitionSpec as _P
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    scene = get_scene_2d("leapfrog")
+    adv = jnp.asarray(scene.advance_domain, jnp.float32)
+    old = GaussianMixture.create(
+        rng.uniform(-4, 4, (n_gaussians, 2)), spec, pad=False)
+    old_params = old.params()
+    old_params["values"] = jnp.asarray(
+        0.1 * rng.randn(n_gaussians, 2).astype(np.float32))
+    pstep, pplace, pdata_shard = make_sharded_project_step_2d(
+        spec, mesh, "leapfrog", boundary_lambda=1.0)
+    opt3 = optim.init(params0, {k: 1e-4 for k in params0}, patience=50)
+    sp, sopt, salive, spos, sold, sold_alive = pplace(
+        params0, opt3, mix.alive, params0["positions"], old_params,
+        old.alive)
+    data = jax.device_put(
+        jnp.asarray(rng.uniform(-4, 4, (batch, 2)), jnp.float32),
+        pdata_shard)
+    bd, bn, bnr = scene.boundary_sampler_2(jax.random.PRNGKey(1), batch,
+                                           adv)
+    put_b = lambda a: jax.device_put(a, pdata_shard)
+    _, _, ls = pstep(sp, sopt, salive, spos, sold, sold_alive, adv,
+                     jnp.asarray(0.025, jnp.float32), data, put_b(bd),
+                     put_b(bn),
+                     jax.device_put(bnr, NamedSharding(mesh, _P("batch"))))
+    ls = np.asarray(jax.device_get(ls))
+    assert np.all(np.isfinite(ls)), ls
+    print(f"[parallel.dryrun] projection epoch losses "
+          f"vor={ls[0]:.6f} div={ls[1]:.6f} bnd={ls[2]:.6f} OK")
+
 
 # ---- shard_map path (Pallas-kernel compatible) ----
 #
@@ -162,12 +204,7 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
     """(step_fn, place): the fit/clone inner epoch under shard_map.
     Same semantics as make_sharded_train_step; compatible with the fused
     Pallas backends because each device calls the kernel on its own shard."""
-    try:
-        from jax import shard_map as _sm  # new API (check_vma kwarg)
-        shard_map = functools.partial(_sm, check_vma=False)
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
-        shard_map = functools.partial(_sm, check_rep=False)
+    shard_map = _shard_map()
 
     pshard = param_shardings(mesh)
     alive_shard = NamedSharding(mesh, P("gauss"))
@@ -239,5 +276,188 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
             patience=scalar))
         alive = jax.device_put(alive, alive_shard)
         return params, opt_state, alive
+
+    return step, place, data_shard
+
+
+# ---- sharded PROJECTION epoch (the per-frame PDE solve, shard_map) ----
+#
+# The production hot loop is the projection epoch (solver/project.py), not
+# the fit epoch: RK4 covector backtrace through the OLD field -> two loss
+# heads sharing the field outputs -> PCGrad conflict projection -> boundary
+# + regularizer grads -> 4-group Adam/plateau. This is its multi-chip
+# form. Axes as above: ``batch`` shards the collocation/boundary rows,
+# ``gauss`` shards the mixture. Collectives:
+#   * every field evaluation (all 5 covector evals, the head forward, the
+#     boundary eval) is a partial sum over local Gaussians -> psum("gauss")
+#   * head/boundary losses are local-batch means -> grads pmean("batch")
+#   * PCGrad needs GLOBAL <g_vor, g_div> dots and norms per param group:
+#     local vdot over the gauss shard -> psum("gauss") (batch ranks agree
+#     because the grads were pmean'd first)
+#   * regularizers are global masked means via psum'd (sum, count) pairs.
+
+def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
+                                 scene_name: str,
+                                 boundary_lambda: float = 1.0,
+                                 weights=None):
+    """(step_fn, place): ONE sharded 2D projection epoch (reference
+    2D/advance.py:187-302 under dp x tp sharding — new scope, SURVEY.md
+    §2.8; the reference is single-GPU).
+
+    The caller supplies the epoch's sample rows pre-sharded (collocation
+    ``data`` and type-2 boundary rows) so the step is deterministic and
+    directly comparable against the single-device epoch. Returns updated
+    (params, opt_state) and the global [l_vor, l_div, l_bnd] losses."""
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver.project import ProjectWeights
+
+    w = weights or ProjectWeights()
+    scene = get_scene_2d(scene_name)
+    sf = scene.scaling_factor
+    shard_map = _shard_map()
+
+    pshard = param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    data_shard = NamedSharding(mesh, P("batch", None))
+    scalar = NamedSharding(mesh, P())
+
+    opt_specs = optim.OptState(
+        groups={k: optim.GroupState(lr=P(), step=P(), m=pshard[k].spec,
+                                    v=pshard[k].spec, best=P(), num_bad=P())
+                for k in pshard}, patience=P())
+    param_specs = {k: v.spec for k, v in pshard.items()}
+
+    def _psum_g(x):
+        return jax.lax.psum(x, "gauss")
+
+    def _global_masked_mean(x, mask):
+        s = jax.lax.psum(jnp.where(mask, x, 0.0).sum(), "gauss")
+        c = jax.lax.psum(mask.sum(), "gauss")
+        return s / jnp.maximum(c, 1)
+
+    def _value(mix, x):
+        return _psum_g(field.value(mix, spec, x, need_dx=False))
+
+    def _covector(old_mix, x, dt, lo, hi):
+        """Sharded advected_vorticity_2d (solver/covector.py): value-only
+        RK4 stages and the endpoint Jacobian are each partial sums over the
+        local Gaussian shard, psum'd before the next stage consumes them."""
+        f = lambda p: _value(old_mix, p)
+        v = f(x)
+        v1 = f(x - dt * 0.5 * v)
+        v2 = f(x - dt * 0.5 * v1)
+        v3 = f(x - dt * v2)
+        bk_x = x - dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+        _, dv = field.value_and_jac(old_mix, spec, bk_x, need_dx=False)
+        vor = losses.curl2d(_psum_g(dv))
+        inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
+        return jnp.where(inside, vor, 0.0)
+
+    def _pcgrad(g1, g2):
+        """losses.pcgrad_combine with global dots/norms (psum over the
+        gauss axis; batch ranks hold identical pmean'd grads)."""
+        out = {}
+        for k in g1:
+            a, b = g1[k], g2[k]
+            dot = _psum_g(jnp.vdot(a, b))
+            norm_a = jnp.sqrt(_psum_g(jnp.vdot(a, a)))
+            norm_b = jnp.sqrt(_psum_g(jnp.vdot(b, b)))
+            na = a / jnp.maximum(norm_a, 1e-30)
+            nb = b / jnp.maximum(norm_b, 1e-30)
+            a2 = a - _psum_g(jnp.vdot(a, nb)) * nb
+            b2 = b - _psum_g(jnp.vdot(b, na)) * na
+            out[k] = jnp.where(dot < 0.0, a2 + b2, a + b)
+        return out
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs, opt_specs, P("gauss"), P("gauss", None),
+                  param_specs, P("gauss"), P(), P(),
+                  P("batch", None), P("batch", None), P("batch", None),
+                  P("batch")),
+        out_specs=(param_specs, opt_specs, P()))
+    def step_local(params, opt_state, alive, positions_org, old_params,
+                   old_alive, adv, dt, data, bd, bn, bnr):
+        old_mix = GaussianMixture(old_params["positions"],
+                                  old_params["scalings"],
+                                  old_params["rotations"],
+                                  old_params["values"], old_alive)
+        lo = jnp.stack([adv[0], adv[2]]) * sf
+        hi = jnp.stack([adv[1], adv[3]]) * sf
+        ref_vor = jax.lax.stop_gradient(_covector(old_mix, data, dt, lo, hi))
+
+        def field_out(p):
+            mix = GaussianMixture(p["positions"], p["scalings"],
+                                  p["rotations"], p["values"], alive)
+            val_p, jac_p = field.value_and_jac(mix, spec, data,
+                                               need_dx=False)
+            return _psum_g(val_p), _psum_g(jac_p)
+
+        (val, jac), f_vjp = jax.vjp(field_out, params)
+        l_vor, vor_vjp = jax.vjp(
+            lambda j: w.vor * losses.vorticity_loss_2d(j, ref_vor), jac)
+        l_div, div_vjp = jax.vjp(
+            lambda j: w.div * losses.divergence_loss(j), jac)
+        one = jnp.ones(())
+        zval = jnp.zeros_like(val)
+        g_vor = f_vjp((zval, vor_vjp(one)[0]))[0]
+        g_div = f_vjp((zval, div_vjp(one)[0]))[0]
+        g_vor = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "batch"), g_vor)
+        g_div = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "batch"), g_div)
+        g_data = _pcgrad(g_vor, g_div)
+
+        def rest(p):
+            mix = GaussianMixture(p["positions"], p["scalings"],
+                                  p["rotations"], p["values"], alive)
+            sca = p["scalings"]
+            ratio = jnp.exp(sca.max(-1) - sca.min(-1))
+            l_aniso = _global_masked_mean(
+                jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO,
+                alive)
+            vol = jnp.exp(-sca.sum(-1))
+            mean_vol = _global_masked_mean(vol, alive)
+            l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
+            dp = ((p["positions"] - positions_org) ** 2).mean(axis=-1)
+            l_dp = _global_masked_mean(dp, alive)
+            total = (w.aniso * l_aniso + w.vol * l_vol
+                     + w.delta_pos * l_dp)
+            bc = jnp.zeros(())
+            if boundary_lambda > 0.0:
+                vb = _psum_g(field.value(mix, spec, bd, need_dx=False))
+                bc = losses.boundary_flux_loss(vb, bn, bnr)
+                total = total + boundary_lambda * bc
+            return total, bc
+
+        (l_rest, bc), g_rest = jax.value_and_grad(rest, has_aux=True)(params)
+        g_rest = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "batch"), g_rest)
+        l_vor = jax.lax.pmean(l_vor, "batch")
+        l_div = jax.lax.pmean(l_div, "batch")
+        l_rest = jax.lax.pmean(l_rest, "batch")
+        bc = jax.lax.pmean(bc, "batch")
+        grads = {k: g_rest[k] + g_data[k] for k in params}
+        params, opt_state = optim.step(opt_state, params, grads,
+                                       l_vor + l_div + l_rest)
+        return params, opt_state, jnp.stack([l_vor, l_div, bc])
+
+    step = jax.jit(step_local)
+
+    def place(params, opt_state, alive, positions_org, old_params,
+              old_alive):
+        put = lambda tree, sh: jax.device_put(tree, sh)
+        params = {k: put(v, pshard[k]) for k, v in params.items()}
+        old_params = {k: put(v, pshard[k]) for k, v in old_params.items()}
+        opt_state = put(opt_state, optim.OptState(
+            groups={k: optim.GroupState(
+                lr=scalar, step=scalar, m=pshard[k], v=pshard[k],
+                best=scalar, num_bad=scalar) for k in pshard},
+            patience=scalar))
+        alive = put(alive, alive_shard)
+        old_alive = put(old_alive, alive_shard)
+        positions_org = put(positions_org,
+                            NamedSharding(mesh, P("gauss", None)))
+        return params, opt_state, alive, positions_org, old_params, old_alive
 
     return step, place, data_shard
