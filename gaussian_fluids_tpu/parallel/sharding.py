@@ -461,3 +461,172 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
         return params, opt_state, alive, positions_org, old_params, old_alive
 
     return step, place, data_shard
+
+
+def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
+                                 boundary_lambda: float = 10.0,
+                                 weights=None):
+    """(step_fn, place): ONE sharded 3D projection epoch (reference
+    3D/advance.py:182-331 under dp x tp sharding — new scope, SURVEY.md
+    §2.8). Differences from the 2D step: the covector target needs the
+    deformation gradient, so every RK4 stage psums BOTH the partial value
+    and partial Jacobian over the gauss axis before the tangent chain
+    (which is per-batch-row local); the vorticity head also carries the
+    helicity term (reference 3D/GSR.py:508-520); the boundary is the
+    free-slip box sampler. Sample rows arrive pre-sharded as in 2D."""
+    from gaussian_fluids_tpu.solver.project import ProjectWeights
+
+    w = weights or ProjectWeights(delta_pos=0.0)
+    shard_map = _shard_map()
+
+    pshard = param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    data_shard = NamedSharding(mesh, P("batch", None))
+    scalar = NamedSharding(mesh, P())
+
+    opt_specs = optim.OptState(
+        groups={k: optim.GroupState(lr=P(), step=P(), m=pshard[k].spec,
+                                    v=pshard[k].spec, best=P(), num_bad=P())
+                for k in pshard}, patience=P())
+    param_specs = {k: v.spec for k, v in pshard.items()}
+
+    def _psum_g(x):
+        return jax.lax.psum(x, "gauss")
+
+    def _global_masked_mean(x, mask):
+        s = jax.lax.psum(jnp.where(mask, x, 0.0).sum(), "gauss")
+        c = jax.lax.psum(mask.sum(), "gauss")
+        return s / jnp.maximum(c, 1)
+
+    def _covector(old_mix, x, dt):
+        """Sharded advected_vorticity_3d (solver/covector.py): the RK4
+        deformation chain (ops/advect.py rk4_advect) with every stage's
+        (val, jac) psum'd over the gauss axis."""
+        def f(p):
+            v, dv = field.value_and_jac(old_mix, spec, p, need_dx=False)
+            return _psum_g(v), _psum_g(dv)
+
+        mdt = -dt
+        v, dv = f(x)
+        phi1 = x + mdt * 0.5 * v
+        v1, dv1 = f(phi1)
+        phi2 = x + mdt * 0.5 * v1
+        v2, dv2 = f(phi2)
+        phi3 = x + mdt * v2
+        v3, dv3 = f(phi3)
+        phi = x + mdt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+        eye = jnp.eye(3, dtype=x.dtype)[None]
+        mm = lambda a, b: jnp.einsum("bij,bjk->bik", a, b)
+        dphi1 = eye + mdt * 0.5 * dv
+        dv1x = mm(dv1, dphi1)
+        dphi2 = eye + mdt * 0.5 * dv1x
+        dv2x = mm(dv2, dphi2)
+        dphi3 = eye + mdt * dv2x
+        dphi = eye + mdt / 6.0 * (dv + 2.0 * dv1x + 2.0 * dv2x
+                                  + mm(dv3, dphi3))
+        v_phi, dv_phi = f(phi)
+        pb_vor = losses.curl3d(dv_phi)
+        hel = jnp.sum(v_phi * pb_vor, axis=-1)
+        vor = jnp.linalg.solve(dphi, pb_vor[..., None])[..., 0]
+        return vor, hel
+
+    def _pcgrad(g1, g2):
+        out = {}
+        for k in g1:
+            a, b = g1[k], g2[k]
+            dot = _psum_g(jnp.vdot(a, b))
+            na = a / jnp.maximum(jnp.sqrt(_psum_g(jnp.vdot(a, a))), 1e-30)
+            nb = b / jnp.maximum(jnp.sqrt(_psum_g(jnp.vdot(b, b))), 1e-30)
+            a2 = a - _psum_g(jnp.vdot(a, nb)) * nb
+            b2 = b - _psum_g(jnp.vdot(b, na)) * na
+            out[k] = jnp.where(dot < 0.0, a2 + b2, a + b)
+        return out
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs, opt_specs, P("gauss"), param_specs,
+                  P("gauss"), P(),
+                  P("batch", None), P("batch", None), P("batch", None)),
+        out_specs=(param_specs, opt_specs, P()))
+    def step_local(params, opt_state, alive, old_params, old_alive, dt,
+                   data, bd, bn):
+        old_mix = GaussianMixture(old_params["positions"],
+                                  old_params["scalings"],
+                                  old_params["rotations"],
+                                  old_params["values"], old_alive)
+        ref_vor, ref_hel = _covector(old_mix, data, dt)
+        ref_vor = jax.lax.stop_gradient(ref_vor)
+        ref_hel = jax.lax.stop_gradient(ref_hel)
+
+        def field_out(p):
+            mix = GaussianMixture(p["positions"], p["scalings"],
+                                  p["rotations"], p["values"], alive)
+            val_p, jac_p = field.value_and_jac(mix, spec, data,
+                                               need_dx=False)
+            return _psum_g(val_p), _psum_g(jac_p)
+
+        (val, jac), f_vjp = jax.vjp(field_out, params)
+        l_vorhel, vh_vjp = jax.vjp(
+            lambda v, j: (w.vor * losses.vorticity_loss_3d(j, ref_vor)
+                          + w.hel * losses.helicity_loss(v, j, ref_hel)),
+            val, jac)
+        l_div, div_vjp = jax.vjp(
+            lambda j: w.div * losses.divergence_loss(j), jac)
+        one = jnp.ones(())
+        g_vor = f_vjp(vh_vjp(one))[0]
+        g_div = f_vjp((jnp.zeros_like(val), div_vjp(one)[0]))[0]
+        g_vor = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "batch"), g_vor)
+        g_div = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "batch"), g_div)
+        g_data = _pcgrad(g_vor, g_div)
+
+        def rest(p):
+            mix = GaussianMixture(p["positions"], p["scalings"],
+                                  p["rotations"], p["values"], alive)
+            sca = p["scalings"]
+            ratio = jnp.exp(sca.max(-1) - sca.min(-1))
+            l_aniso = _global_masked_mean(
+                jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO,
+                alive)
+            vol = jnp.exp(-sca.sum(-1))
+            mean_vol = _global_masked_mean(vol, alive)
+            l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
+            vr = _global_masked_mean(jnp.abs(p["values"]).mean(axis=-1),
+                                     alive)
+            total = w.aniso * l_aniso + w.vol * l_vol + w.val_reg * vr
+            bc = jnp.zeros(())
+            if boundary_lambda > 0.0:
+                vb = _psum_g(field.value(mix, spec, bd, need_dx=False))
+                bc = losses.boundary_freeslip_loss(vb, bn)
+                total = total + boundary_lambda * bc
+            return total, bc
+
+        (l_rest, bc), g_rest = jax.value_and_grad(rest, has_aux=True)(params)
+        g_rest = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, "batch"), g_rest)
+        l_vorhel = jax.lax.pmean(l_vorhel, "batch")
+        l_div = jax.lax.pmean(l_div, "batch")
+        l_rest = jax.lax.pmean(l_rest, "batch")
+        bc = jax.lax.pmean(bc, "batch")
+        grads = {k: g_rest[k] + g_data[k] for k in params}
+        params, opt_state = optim.step(opt_state, params, grads,
+                                       l_vorhel + l_div + l_rest)
+        return params, opt_state, jnp.stack([l_vorhel, l_div, bc])
+
+    step = jax.jit(step_local)
+
+    def place(params, opt_state, alive, old_params, old_alive):
+        params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
+        old_params = {k: jax.device_put(v, pshard[k])
+                      for k, v in old_params.items()}
+        opt_state = jax.device_put(opt_state, optim.OptState(
+            groups={k: optim.GroupState(
+                lr=scalar, step=scalar, m=pshard[k], v=pshard[k],
+                best=scalar, num_bad=scalar) for k in pshard},
+            patience=scalar))
+        alive = jax.device_put(alive, alive_shard)
+        old_alive = jax.device_put(old_alive, alive_shard)
+        return params, opt_state, alive, old_params, old_alive
+
+    return step, place, data_shard

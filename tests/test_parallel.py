@@ -180,3 +180,82 @@ def test_sharded_projection_epoch_matches_single_device(monkeypatch):
         np.testing.assert_allclose(np.asarray(p_out[k]),
                                    np.asarray(p_ref[k]), rtol=2e-4,
                                    atol=1e-6, err_msg=k)
+
+
+def test_sharded_projection_epoch_3d_matches_single_device(monkeypatch):
+    """3D: deformation-gradient covector pullback + helicity head under
+    sharding must reproduce the single-device epoch."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.scenes import get_scene_3d
+    from gaussian_fluids_tpu.solver import covector, losses
+    from gaussian_fluids_tpu.solver.project import ProjectWeights
+
+    n, b = 128, 32
+    dt = jnp.asarray(0.02, jnp.float32)
+    w = ProjectWeights(delta_pos=0.0)
+    spec = FieldSpec.create((-5,) * 3, (5,) * 3, n, d=3, vdim=3)
+    bs = get_scene_3d("ring_collide").boundary_sampler
+
+    def rand_mix(seed):
+        r = np.random.RandomState(seed)
+        m = GaussianMixture.create(r.uniform(-4, 4, (n, 3)), spec,
+                                   pad=False)
+        sca = m.scalings + jnp.asarray(0.2 * r.randn(n, 3), jnp.float32)
+        rot = jnp.asarray(r.randn(n, 4) * 0.1
+                          + np.array([1.0, 0, 0, 0]), jnp.float32)
+        return GaussianMixture(
+            m.positions, sca, rot,
+            jnp.asarray(0.1 * r.randn(n, 3), jnp.float32), m.alive)
+
+    mix, old_mix = rand_mix(8), rand_mix(9)
+    rng = np.random.RandomState(4)
+    data = jnp.asarray(rng.uniform(-4.5, 4.5, (b, 3)), jnp.float32)
+    bd, bn = bs(jax.random.PRNGKey(3), b)
+
+    params, alive = mix.params(), mix.alive
+    ref_vor, ref_hel = covector.advected_vorticity_3d(old_mix, spec, data,
+                                                      dt)
+    ref_vor = jax.lax.stop_gradient(ref_vor)
+    ref_hel = jax.lax.stop_gradient(ref_hel)
+    h1 = lambda val, jac: (w.vor * losses.vorticity_loss_3d(jac, ref_vor)
+                           + w.hel * losses.helicity_loss(val, jac,
+                                                          ref_hel))
+    h2 = lambda val, jac: w.div * losses.divergence_loss(jac)
+    (l_vorhel, l_div), (g_vor, g_div) = field.two_head_grads(
+        params, alive, spec, data, h1, h2)
+    g_data = losses.pcgrad_combine(g_vor, g_div)
+
+    def rest(p):
+        m = GaussianMixture(p["positions"], p["scalings"], p["rotations"],
+                            p["values"], alive)
+        total = (w.aniso * losses.aniso_loss(p["scalings"], alive)
+                 + w.vol * losses.volume_loss(p["scalings"], alive)
+                 + w.val_reg * losses.value_reg_loss(p["values"], alive))
+        c = losses.boundary_freeslip_loss(
+            field.value(m, spec, bd, need_dx=False), bn)
+        return total + 10.0 * c
+
+    l_rest, g_rest = jax.value_and_grad(rest)(params)
+    grads = {k: g_rest[k] + g_data[k] for k in params}
+    opt = optim.init(params, {k: 3e-4 for k in params}, patience=50)
+    p_ref, _ = optim.step(opt, params, grads, l_vorhel + l_div + l_rest)
+
+    mesh = sharding.make_mesh(4, 2)
+    step, place, data_shard = sharding.make_sharded_project_step_3d(
+        spec, mesh, boundary_lambda=10.0, weights=w)
+    opt2 = optim.init(mix.params(), {k: 3e-4 for k in mix.params()},
+                      patience=50)
+    sp, sopt, salive, sold, sold_alive = place(
+        mix.params(), opt2, mix.alive, old_mix.params(), old_mix.alive)
+    put_b = lambda a: jax.device_put(a, data_shard)
+    p_out, _, ls = step(sp, sopt, salive, sold, sold_alive, dt,
+                        put_b(data), put_b(bd), put_b(bn))
+    np.testing.assert_allclose(float(ls[0]), float(l_vorhel), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(float(ls[1]), float(l_div), rtol=1e-5,
+                               atol=1e-7)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_out[k]),
+                                   np.asarray(p_ref[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
