@@ -90,7 +90,11 @@ def morton_order(x: jnp.ndarray, valid: Optional[jnp.ndarray] = None
         hi = jnp.max(x, axis=0)
     key = morton_key(x, lo, hi)
     if valid is not None:
-        key = jnp.where(valid, key, _U(0xFFFFFFFF))
+        # live keys are capped below the dead sentinel: the point at the
+        # bounding-box max corner otherwise produces exactly 0xFFFFFFFF in
+        # 2D (interleave(65535, 65535)) and would interleave with dead rows
+        key = jnp.where(valid, jnp.minimum(key, _U(0xFFFFFFFE)),
+                        _U(0xFFFFFFFF))
     # stable sort keeps equal-key (e.g. dead) rows in original order
     return jnp.argsort(key, stable=True)
 
@@ -104,8 +108,10 @@ def sort_queries(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def morton_order_np(x: np.ndarray) -> np.ndarray:
-    """Host-side twin of :func:`morton_order` (no valid mask) for the
-    numpy re-packing paths (solver/clone.py)."""
+    """Host-side numpy twin of :func:`morton_order` (no valid mask).
+    No production consumer — kept alongside the jax version so a future
+    small-radius regime can adopt Z-ordering on both the jit and host
+    re-packing paths without rederiving the spreads."""
     x = np.asarray(x, np.float32)   # f32 to match the jax twin bit-for-bit
     lo = x.min(axis=0)
     hi = x.max(axis=0)

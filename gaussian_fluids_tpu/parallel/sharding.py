@@ -193,12 +193,79 @@ def dryrun(n_devices: int, batch: int = 64, n_gaussians: int = 128) -> None:
 #
 # XLA's SPMD partitioner cannot partition a pallas_call, so the
 # jit-with-shardings step above only reaches the fused kernels when run
-# replicated. This variant uses shard_map: every device runs the (Pallas or
-# dense) field kernels on its LOCAL (batch-shard x gaussian-shard) block and
-# the cross-device reductions are explicit collectives —
+# replicated. The shard_map steps below run the (Pallas or dense) field
+# kernels on each device's LOCAL (batch-shard x gaussian-shard) block and
+# make the cross-device reductions explicit collectives —
 #   * field value/jac: partial sums over local Gaussians -> psum("gauss")
-#   * data-term losses: means over the local batch -> psum("batch") of grads
+#   * data-term losses: means over the local batch -> pmean("batch") grads
 #   * regularizers: global masked means via psum'd (sum, count) pairs.
+#
+# Shared building blocks (the fit and projection steps must not drift
+# apart in their collective semantics):
+
+def _psum_g(x):
+    return jax.lax.psum(x, "gauss")
+
+
+def _pmean_b(tree):
+    return jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, "batch"), tree)
+
+
+def _global_masked_mean(x, mask):
+    """Global masked mean over the gauss-sharded axis (psum'd sum/count)."""
+    s = jax.lax.psum(jnp.where(mask, x, 0.0).sum(), "gauss")
+    c = jax.lax.psum(mask.sum(), "gauss")
+    return s / jnp.maximum(c, 1)
+
+
+def _aniso_vol_sharded(scalings, alive):
+    """losses.aniso_loss / volume_loss with cross-shard masked means."""
+    ratio = jnp.exp(scalings.max(-1) - scalings.min(-1))
+    l_aniso = _global_masked_mean(
+        jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO, alive)
+    vol = jnp.exp(-scalings.sum(-1))
+    mean_vol = _global_masked_mean(vol, alive)
+    l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
+    return l_aniso, l_vol
+
+
+def _pcgrad_sharded(g1, g2):
+    """losses.pcgrad_combine with global dots/norms (psum over the gauss
+    axis; batch ranks hold identical pmean'd grads, so no batch psum)."""
+    out = {}
+    for k in g1:
+        a, b = g1[k], g2[k]
+        dot = _psum_g(jnp.vdot(a, b))
+        na = a / jnp.maximum(jnp.sqrt(_psum_g(jnp.vdot(a, a))), 1e-30)
+        nb = b / jnp.maximum(jnp.sqrt(_psum_g(jnp.vdot(b, b))), 1e-30)
+        a2 = a - _psum_g(jnp.vdot(a, nb)) * nb
+        b2 = b - _psum_g(jnp.vdot(b, na)) * na
+        out[k] = jnp.where(dot < 0.0, a2 + b2, a + b)
+    return out
+
+
+def _opt_specs(pshard):
+    """shard_map PartitionSpecs for the optimizer state (scalars
+    replicated, moments following their param shards)."""
+    return optim.OptState(
+        groups={k: optim.GroupState(lr=P(), step=P(), m=pshard[k].spec,
+                                    v=pshard[k].spec, best=P(), num_bad=P())
+                for k in pshard}, patience=P())
+
+
+def _opt_shardings(mesh: Mesh, pshard):
+    scalar = NamedSharding(mesh, P())
+    return optim.OptState(
+        groups={k: optim.GroupState(lr=scalar, step=scalar, m=pshard[k],
+                                    v=pshard[k], best=scalar,
+                                    num_bad=scalar) for k in pshard},
+        patience=scalar)
+
+
+def _mix_of(p, alive):
+    return GaussianMixture(p["positions"], p["scalings"], p["rotations"],
+                           p["values"], alive)
+
 
 def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
     """(step_fn, place): the fit/clone inner epoch under shard_map.
@@ -209,58 +276,35 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
     pshard = param_shardings(mesh)
     alive_shard = NamedSharding(mesh, P("gauss"))
     data_shard = NamedSharding(mesh, P("batch", None))
-    scalar = NamedSharding(mesh, P())
-
-    def group_shard(ps):
-        return optim.GroupState(lr=P(), step=P(), m=ps.spec, v=ps.spec,
-                                best=P(), num_bad=P())
-
-    opt_specs = optim.OptState(
-        groups={k: group_shard(pshard[k]) for k in pshard}, patience=P())
     param_specs = {k: v.spec for k, v in pshard.items()}
 
-    def _global_masked_mean(x, mask):
-        s = jax.lax.psum(jnp.where(mask, x, 0.0).sum(), "gauss")
-        c = jax.lax.psum(mask.sum(), "gauss")
-        return s / jnp.maximum(c, 1)
-
     def local_loss(params, alive, x, ref_val, ref_jac):
-        mix = GaussianMixture(params["positions"], params["scalings"],
-                              params["rotations"], params["values"], alive)
-        # partial sums over this device's Gaussians, full over its batch
-        val_p, jac_p = field.value_and_jac(mix, spec, x)
-        val = jax.lax.psum(val_p, "gauss")
-        # the clamp constant -c is subtracted once per *supported* Gaussian
+        # partial sums over this device's Gaussians, full over its batch.
+        # The clamp constant -c is subtracted once per *supported* Gaussian
         # inside each shard's kernel, so the psum is exactly the global
         # masked sum (support membership is per-Gaussian).
-        jac = jax.lax.psum(jac_p, "gauss")
+        val_p, jac_p = field.value_and_jac(_mix_of(params, alive), spec, x)
+        val = _psum_g(val_p)
+        jac = _psum_g(jac_p)
         l_val = losses.value_loss(val, ref_val)          # local-batch mean
         l_grad = losses.grad_loss(jac, ref_jac)
-        sca = params["scalings"]
-        ratio = jnp.exp(sca.max(-1) - sca.min(-1))
-        l_aniso = _global_masked_mean(
-            jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO,
-            alive)
-        vol = jnp.exp(-sca.sum(-1))
-        mean_vol = _global_masked_mean(vol, alive)
-        l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
+        l_aniso, l_vol = _aniso_vol_sharded(params["scalings"], alive)
         return l_val + l_grad + l_aniso + l_vol
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs, opt_specs, P("gauss"), P("batch", None),
-                  P("batch", None), P("batch", None, None)),
-        out_specs=(param_specs, opt_specs, P()))
-    # (vma/rep checking disabled above: pallas_call outputs carry no
-    # varying-mesh-axes annotation)
+        in_specs=(param_specs, _opt_specs(pshard), P("gauss"),
+                  P("batch", None), P("batch", None), P("batch", None, None)),
+        out_specs=(param_specs, _opt_specs(pshard), P()))
+    # (vma/rep checking disabled in _shard_map: pallas_call outputs carry
+    # no varying-mesh-axes annotation)
     def step_local(params, opt_state, alive, x, ref_val, ref_jac):
         total, grads = jax.value_and_grad(local_loss)(params, alive, x,
                                                       ref_val, ref_jac)
         # data terms are means over the LOCAL batch: average across the
         # batch axis; regularizer grads are identical on every batch rank
         # so the mean is a no-op for them.
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "batch"), grads)
+        grads = _pmean_b(grads)
         total = jax.lax.pmean(total, "batch")
         params, opt_state = optim.step(opt_state, params, grads, total)
         return params, opt_state, total
@@ -269,11 +313,7 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
 
     def place(params, opt_state, alive):
         params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
-        opt_state = jax.device_put(opt_state, optim.OptState(
-            groups={k: optim.GroupState(
-                lr=scalar, step=scalar, m=pshard[k], v=pshard[k],
-                best=scalar, num_bad=scalar) for k in pshard},
-            patience=scalar))
+        opt_state = jax.device_put(opt_state, _opt_shardings(mesh, pshard))
         alive = jax.device_put(alive, alive_shard)
         return params, opt_state, alive
 
@@ -285,16 +325,20 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
 # The production hot loop is the projection epoch (solver/project.py), not
 # the fit epoch: RK4 covector backtrace through the OLD field -> two loss
 # heads sharing the field outputs -> PCGrad conflict projection -> boundary
-# + regularizer grads -> 4-group Adam/plateau. This is its multi-chip
-# form. Axes as above: ``batch`` shards the collocation/boundary rows,
-# ``gauss`` shards the mixture. Collectives:
+# + regularizer grads -> 4-group Adam/plateau. Axes as above. Collectives:
 #   * every field evaluation (all 5 covector evals, the head forward, the
-#     boundary eval) is a partial sum over local Gaussians -> psum("gauss")
+#     boundary evals) is a partial sum over local Gaussians -> psum("gauss")
 #   * head/boundary losses are local-batch means -> grads pmean("batch")
-#   * PCGrad needs GLOBAL <g_vor, g_div> dots and norms per param group:
-#     local vdot over the gauss shard -> psum("gauss") (batch ranks agree
-#     because the grads were pmean'd first)
-#   * regularizers are global masked means via psum'd (sum, count) pairs.
+#   * PCGrad needs GLOBAL <g_vor, g_div> dots/norms: psum("gauss") after
+#     the pmean (_pcgrad_sharded)
+#   * regularizers: _global_masked_mean / _aniso_vol_sharded.
+#
+# Known cost gap vs the single-device epoch: the two PCGrad heads pull
+# back through the psum'd forward with TWO jax.vjp sweeps, where the
+# single-device path fuses them into one dual-cotangent kernel backward
+# (ops/field.py two_head_grads). Fusing the dual backward per-shard under
+# shard_map needs the kernel-level cotangent plumbing exposed through the
+# psum boundary — future work; parity and scaling semantics are unaffected.
 
 def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
                                  scene_name: str,
@@ -304,92 +348,91 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
     2D/advance.py:187-302 under dp x tp sharding — new scope, SURVEY.md
     §2.8; the reference is single-GPU).
 
-    The caller supplies the epoch's sample rows pre-sharded (collocation
-    ``data`` and type-2 boundary rows) so the step is deterministic and
-    directly comparable against the single-device epoch. Returns updated
-    (params, opt_state) and the global [l_vor, l_div, l_bnd] losses."""
+    The caller supplies the epoch's sample rows pre-sharded over the batch
+    axis, matching the scene's samplers (solver/project.py):
+      * always: collocation ``data`` (B, 2);
+      * if the scene has a type-1 Dirichlet sampler (karman,
+        vortices_pass_noslip): ``bd1`` (B, 2), ``bval1`` (B, 2);
+      * if it has a type-2 flux sampler: ``bd`` (B, 2), ``bn`` (B, 2),
+        ``bnr`` (B,).
+    Step signature: step(params, opt_state, alive, positions_org,
+    old_params, old_alive, adv, dt, data[, bd1, bval1][, bd, bn, bnr]).
+    Returns updated (params, opt_state) and global [l_vor, l_div, l_bnd]."""
     from gaussian_fluids_tpu.scenes import get_scene_2d
     from gaussian_fluids_tpu.solver.project import ProjectWeights
 
     w = weights or ProjectWeights()
     scene = get_scene_2d(scene_name)
     sf = scene.scaling_factor
+    has_bs1 = scene.boundary_sampler_1 is not None
+    has_bs2 = scene.boundary_sampler_2 is not None
     shard_map = _shard_map()
 
     pshard = param_shardings(mesh)
     alive_shard = NamedSharding(mesh, P("gauss"))
     data_shard = NamedSharding(mesh, P("batch", None))
-    scalar = NamedSharding(mesh, P())
-
-    opt_specs = optim.OptState(
-        groups={k: optim.GroupState(lr=P(), step=P(), m=pshard[k].spec,
-                                    v=pshard[k].spec, best=P(), num_bad=P())
-                for k in pshard}, patience=P())
     param_specs = {k: v.spec for k, v in pshard.items()}
+    row_specs = (P("batch", None),)
+    if has_bs1:
+        row_specs += (P("batch", None), P("batch", None))
+    if has_bs2:
+        row_specs += (P("batch", None), P("batch", None), P("batch"))
 
-    def _psum_g(x):
-        return jax.lax.psum(x, "gauss")
-
-    def _global_masked_mean(x, mask):
-        s = jax.lax.psum(jnp.where(mask, x, 0.0).sum(), "gauss")
-        c = jax.lax.psum(mask.sum(), "gauss")
-        return s / jnp.maximum(c, 1)
-
-    def _value(mix, x):
-        return _psum_g(field.value(mix, spec, x, need_dx=False))
-
-    def _covector(old_mix, x, dt, lo, hi):
+    def _covector(old_mix, x, dt, lo, hi, presorted):
         """Sharded advected_vorticity_2d (solver/covector.py): value-only
         RK4 stages and the endpoint Jacobian are each partial sums over the
         local Gaussian shard, psum'd before the next stage consumes them."""
-        f = lambda p: _value(old_mix, p)
+        f = lambda p: _psum_g(field.value(old_mix, spec, p,
+                                          presorted=presorted,
+                                          need_dx=False))
         v = f(x)
         v1 = f(x - dt * 0.5 * v)
         v2 = f(x - dt * 0.5 * v1)
         v3 = f(x - dt * v2)
         bk_x = x - dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
-        _, dv = field.value_and_jac(old_mix, spec, bk_x, need_dx=False)
+        _, dv = field.value_and_jac(old_mix, spec, bk_x,
+                                    presorted=presorted, need_dx=False)
         vor = losses.curl2d(_psum_g(dv))
         inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
         return jnp.where(inside, vor, 0.0)
 
-    def _pcgrad(g1, g2):
-        """losses.pcgrad_combine with global dots/norms (psum over the
-        gauss axis; batch ranks hold identical pmean'd grads)."""
-        out = {}
-        for k in g1:
-            a, b = g1[k], g2[k]
-            dot = _psum_g(jnp.vdot(a, b))
-            norm_a = jnp.sqrt(_psum_g(jnp.vdot(a, a)))
-            norm_b = jnp.sqrt(_psum_g(jnp.vdot(b, b)))
-            na = a / jnp.maximum(norm_a, 1e-30)
-            nb = b / jnp.maximum(norm_b, 1e-30)
-            a2 = a - _psum_g(jnp.vdot(a, nb)) * nb
-            b2 = b - _psum_g(jnp.vdot(b, na)) * na
-            out[k] = jnp.where(dot < 0.0, a2 + b2, a + b)
-        return out
-
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs, opt_specs, P("gauss"), P("gauss", None),
-                  param_specs, P("gauss"), P(), P(),
-                  P("batch", None), P("batch", None), P("batch", None),
-                  P("batch")),
-        out_specs=(param_specs, opt_specs, P()))
+        in_specs=(param_specs, _opt_specs(pshard), P("gauss"),
+                  P("gauss", None), param_specs, P("gauss"), P(), P())
+                 + row_specs,
+        out_specs=(param_specs, _opt_specs(pshard), P()))
     def step_local(params, opt_state, alive, positions_org, old_params,
-                   old_alive, adv, dt, data, bd, bn, bnr):
-        old_mix = GaussianMixture(old_params["positions"],
-                                  old_params["scalings"],
-                                  old_params["rotations"],
-                                  old_params["values"], old_alive)
+                   old_alive, adv, dt, data, *rows):
+        rows = list(rows)
+        bd1 = bval1 = bd = bn = bnr = None
+        if has_bs1:
+            bd1, bval1 = rows[0], rows[1]
+            rows = rows[2:]
+        if has_bs2:
+            bd, bn, bnr = rows
+        old_mix = _mix_of(old_params, old_alive)
         lo = jnp.stack([adv[0], adv[2]]) * sf
         hi = jnp.stack([adv[1], adv[3]]) * sf
-        ref_vor = jax.lax.stop_gradient(_covector(old_mix, data, dt, lo, hi))
+        # sort local rows once so every kernel eval below runs presorted
+        # (solver/project.py does the same per epoch); dense dispatch
+        # skips the sort — it is pure overhead there.
+        sorting = field._use_pallas(data.shape[0],
+                                    params["positions"].shape[0])
+        if sorting:
+            data = data[jnp.argsort(data[:, 0])]
+            if has_bs1:
+                o = jnp.argsort(bd1[:, 0])
+                bd1, bval1 = bd1[o], bval1[o]
+            if has_bs2:
+                o = jnp.argsort(bd[:, 0])
+                bd, bn, bnr = bd[o], bn[o], bnr[o]
+        ref_vor = jax.lax.stop_gradient(
+            _covector(old_mix, data, dt, lo, hi, sorting))
 
         def field_out(p):
-            mix = GaussianMixture(p["positions"], p["scalings"],
-                                  p["rotations"], p["values"], alive)
-            val_p, jac_p = field.value_and_jac(mix, spec, data,
+            val_p, jac_p = field.value_and_jac(_mix_of(p, alive), spec,
+                                               data, presorted=sorting,
                                                need_dx=False)
             return _psum_g(val_p), _psum_g(jac_p)
 
@@ -400,39 +443,33 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
             lambda j: w.div * losses.divergence_loss(j), jac)
         one = jnp.ones(())
         zval = jnp.zeros_like(val)
-        g_vor = f_vjp((zval, vor_vjp(one)[0]))[0]
-        g_div = f_vjp((zval, div_vjp(one)[0]))[0]
-        g_vor = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "batch"), g_vor)
-        g_div = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "batch"), g_div)
-        g_data = _pcgrad(g_vor, g_div)
+        g_vor = _pmean_b(f_vjp((zval, vor_vjp(one)[0]))[0])
+        g_div = _pmean_b(f_vjp((zval, div_vjp(one)[0]))[0])
+        g_data = _pcgrad_sharded(g_vor, g_div)
 
         def rest(p):
-            mix = GaussianMixture(p["positions"], p["scalings"],
-                                  p["rotations"], p["values"], alive)
-            sca = p["scalings"]
-            ratio = jnp.exp(sca.max(-1) - sca.min(-1))
-            l_aniso = _global_masked_mean(
-                jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO,
-                alive)
-            vol = jnp.exp(-sca.sum(-1))
-            mean_vol = _global_masked_mean(vol, alive)
-            l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
+            m = _mix_of(p, alive)
+            l_aniso, l_vol = _aniso_vol_sharded(p["scalings"], alive)
             dp = ((p["positions"] - positions_org) ** 2).mean(axis=-1)
             l_dp = _global_masked_mean(dp, alive)
-            total = (w.aniso * l_aniso + w.vol * l_vol
-                     + w.delta_pos * l_dp)
+            total = w.aniso * l_aniso + w.vol * l_vol + w.delta_pos * l_dp
             bc = jnp.zeros(())
-            if boundary_lambda > 0.0:
-                vb = _psum_g(field.value(mix, spec, bd, need_dx=False))
-                bc = losses.boundary_flux_loss(vb, bn, bnr)
-                total = total + boundary_lambda * bc
+            if boundary_lambda > 0.0 and has_bs1:
+                v1 = _psum_g(field.value(m, spec, bd1, presorted=sorting,
+                                         need_dx=False))
+                c1 = losses.boundary_dirichlet_loss(v1, bval1)
+                total = total + boundary_lambda * c1
+                bc = bc + c1
+            if boundary_lambda > 0.0 and has_bs2:
+                v2 = _psum_g(field.value(m, spec, bd, presorted=sorting,
+                                         need_dx=False))
+                c2 = losses.boundary_flux_loss(v2, bn, bnr)
+                total = total + boundary_lambda * c2
+                bc = bc + c2
             return total, bc
 
         (l_rest, bc), g_rest = jax.value_and_grad(rest, has_aux=True)(params)
-        g_rest = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "batch"), g_rest)
+        g_rest = _pmean_b(g_rest)
         l_vor = jax.lax.pmean(l_vor, "batch")
         l_div = jax.lax.pmean(l_div, "batch")
         l_rest = jax.lax.pmean(l_rest, "batch")
@@ -446,18 +483,14 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
 
     def place(params, opt_state, alive, positions_org, old_params,
               old_alive):
-        put = lambda tree, sh: jax.device_put(tree, sh)
-        params = {k: put(v, pshard[k]) for k, v in params.items()}
-        old_params = {k: put(v, pshard[k]) for k, v in old_params.items()}
-        opt_state = put(opt_state, optim.OptState(
-            groups={k: optim.GroupState(
-                lr=scalar, step=scalar, m=pshard[k], v=pshard[k],
-                best=scalar, num_bad=scalar) for k in pshard},
-            patience=scalar))
-        alive = put(alive, alive_shard)
-        old_alive = put(old_alive, alive_shard)
-        positions_org = put(positions_org,
-                            NamedSharding(mesh, P("gauss", None)))
+        params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
+        old_params = {k: jax.device_put(v, pshard[k])
+                      for k, v in old_params.items()}
+        opt_state = jax.device_put(opt_state, _opt_shardings(mesh, pshard))
+        alive = jax.device_put(alive, alive_shard)
+        old_alive = jax.device_put(old_alive, alive_shard)
+        positions_org = jax.device_put(positions_org,
+                                       NamedSharding(mesh, P("gauss", None)))
         return params, opt_state, alive, positions_org, old_params, old_alive
 
     return step, place, data_shard
@@ -482,28 +515,15 @@ def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
     pshard = param_shardings(mesh)
     alive_shard = NamedSharding(mesh, P("gauss"))
     data_shard = NamedSharding(mesh, P("batch", None))
-    scalar = NamedSharding(mesh, P())
-
-    opt_specs = optim.OptState(
-        groups={k: optim.GroupState(lr=P(), step=P(), m=pshard[k].spec,
-                                    v=pshard[k].spec, best=P(), num_bad=P())
-                for k in pshard}, patience=P())
     param_specs = {k: v.spec for k, v in pshard.items()}
 
-    def _psum_g(x):
-        return jax.lax.psum(x, "gauss")
-
-    def _global_masked_mean(x, mask):
-        s = jax.lax.psum(jnp.where(mask, x, 0.0).sum(), "gauss")
-        c = jax.lax.psum(mask.sum(), "gauss")
-        return s / jnp.maximum(c, 1)
-
-    def _covector(old_mix, x, dt):
+    def _covector(old_mix, x, dt, presorted):
         """Sharded advected_vorticity_3d (solver/covector.py): the RK4
         deformation chain (ops/advect.py rk4_advect) with every stage's
         (val, jac) psum'd over the gauss axis."""
         def f(p):
-            v, dv = field.value_and_jac(old_mix, spec, p, need_dx=False)
+            v, dv = field.value_and_jac(old_mix, spec, p,
+                                        presorted=presorted, need_dx=False)
             return _psum_g(v), _psum_g(dv)
 
         mdt = -dt
@@ -530,38 +550,28 @@ def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
         vor = jnp.linalg.solve(dphi, pb_vor[..., None])[..., 0]
         return vor, hel
 
-    def _pcgrad(g1, g2):
-        out = {}
-        for k in g1:
-            a, b = g1[k], g2[k]
-            dot = _psum_g(jnp.vdot(a, b))
-            na = a / jnp.maximum(jnp.sqrt(_psum_g(jnp.vdot(a, a))), 1e-30)
-            nb = b / jnp.maximum(jnp.sqrt(_psum_g(jnp.vdot(b, b))), 1e-30)
-            a2 = a - _psum_g(jnp.vdot(a, nb)) * nb
-            b2 = b - _psum_g(jnp.vdot(b, na)) * na
-            out[k] = jnp.where(dot < 0.0, a2 + b2, a + b)
-        return out
-
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(param_specs, opt_specs, P("gauss"), param_specs,
+        in_specs=(param_specs, _opt_specs(pshard), P("gauss"), param_specs,
                   P("gauss"), P(),
                   P("batch", None), P("batch", None), P("batch", None)),
-        out_specs=(param_specs, opt_specs, P()))
+        out_specs=(param_specs, _opt_specs(pshard), P()))
     def step_local(params, opt_state, alive, old_params, old_alive, dt,
                    data, bd, bn):
-        old_mix = GaussianMixture(old_params["positions"],
-                                  old_params["scalings"],
-                                  old_params["rotations"],
-                                  old_params["values"], old_alive)
-        ref_vor, ref_hel = _covector(old_mix, data, dt)
+        old_mix = _mix_of(old_params, old_alive)
+        sorting = field._use_pallas(data.shape[0],
+                                    params["positions"].shape[0])
+        if sorting:
+            data = data[jnp.argsort(data[:, 0])]
+            o = jnp.argsort(bd[:, 0])
+            bd, bn = bd[o], bn[o]
+        ref_vor, ref_hel = _covector(old_mix, data, dt, sorting)
         ref_vor = jax.lax.stop_gradient(ref_vor)
         ref_hel = jax.lax.stop_gradient(ref_hel)
 
         def field_out(p):
-            mix = GaussianMixture(p["positions"], p["scalings"],
-                                  p["rotations"], p["values"], alive)
-            val_p, jac_p = field.value_and_jac(mix, spec, data,
+            val_p, jac_p = field.value_and_jac(_mix_of(p, alive), spec,
+                                               data, presorted=sorting,
                                                need_dx=False)
             return _psum_g(val_p), _psum_g(jac_p)
 
@@ -573,38 +583,26 @@ def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
         l_div, div_vjp = jax.vjp(
             lambda j: w.div * losses.divergence_loss(j), jac)
         one = jnp.ones(())
-        g_vor = f_vjp(vh_vjp(one))[0]
-        g_div = f_vjp((jnp.zeros_like(val), div_vjp(one)[0]))[0]
-        g_vor = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "batch"), g_vor)
-        g_div = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "batch"), g_div)
-        g_data = _pcgrad(g_vor, g_div)
+        g_vor = _pmean_b(f_vjp(vh_vjp(one))[0])
+        g_div = _pmean_b(f_vjp((jnp.zeros_like(val), div_vjp(one)[0]))[0])
+        g_data = _pcgrad_sharded(g_vor, g_div)
 
         def rest(p):
-            mix = GaussianMixture(p["positions"], p["scalings"],
-                                  p["rotations"], p["values"], alive)
-            sca = p["scalings"]
-            ratio = jnp.exp(sca.max(-1) - sca.min(-1))
-            l_aniso = _global_masked_mean(
-                jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO,
-                alive)
-            vol = jnp.exp(-sca.sum(-1))
-            mean_vol = _global_masked_mean(vol, alive)
-            l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
+            m = _mix_of(p, alive)
+            l_aniso, l_vol = _aniso_vol_sharded(p["scalings"], alive)
             vr = _global_masked_mean(jnp.abs(p["values"]).mean(axis=-1),
                                      alive)
             total = w.aniso * l_aniso + w.vol * l_vol + w.val_reg * vr
             bc = jnp.zeros(())
             if boundary_lambda > 0.0:
-                vb = _psum_g(field.value(mix, spec, bd, need_dx=False))
+                vb = _psum_g(field.value(m, spec, bd, presorted=sorting,
+                                         need_dx=False))
                 bc = losses.boundary_freeslip_loss(vb, bn)
                 total = total + boundary_lambda * bc
             return total, bc
 
         (l_rest, bc), g_rest = jax.value_and_grad(rest, has_aux=True)(params)
-        g_rest = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "batch"), g_rest)
+        g_rest = _pmean_b(g_rest)
         l_vorhel = jax.lax.pmean(l_vorhel, "batch")
         l_div = jax.lax.pmean(l_div, "batch")
         l_rest = jax.lax.pmean(l_rest, "batch")
@@ -620,11 +618,7 @@ def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
         params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
         old_params = {k: jax.device_put(v, pshard[k])
                       for k, v in old_params.items()}
-        opt_state = jax.device_put(opt_state, optim.OptState(
-            groups={k: optim.GroupState(
-                lr=scalar, step=scalar, m=pshard[k], v=pshard[k],
-                best=scalar, num_bad=scalar) for k in pshard},
-            patience=scalar))
+        opt_state = jax.device_put(opt_state, _opt_shardings(mesh, pshard))
         alive = jax.device_put(alive, alive_shard)
         old_alive = jax.device_put(old_alive, alive_shard)
         return params, opt_state, alive, old_params, old_alive

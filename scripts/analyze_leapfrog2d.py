@@ -6,7 +6,7 @@ For sampled frames, evaluates the field on a grid (dense CPU path) and
 reports:
   * divergence residual (mean |div|, max |div|) — the parity metric the
     reference prints per 100 epochs (2D/advance.py:271,286);
-  * total |vorticity| (L1 norm) — 2D vorticity is materially conserved,
+  * grid mean of |vorticity| — 2D vorticity is materially conserved,
     so large decay indicates numerical dissipation;
   * the 4 vortex cores: local extrema of the vorticity field (2 positive,
     2 negative) — the leapfrogging pairs must stay distinct and keep
@@ -63,9 +63,11 @@ def cores(vor, xs, ys, k=2):
 
 
 all_frames = frames()
+if not all_frames:
+    sys.exit(f"no gaussian_velocity_*.pt checkpoints found in {run_dir!r}")
 sampled = [n for n in all_frames if n % stride == 0] + [max(all_frames)]
 sampled = sorted(set(sampled))
-print(f"{'frame':>6} {'mean|div|':>11} {'max|div|':>10} {'sum|vor|':>10} "
+print(f"{'frame':>6} {'mean|div|':>11} {'max|div|':>10} {'mean|vor|':>10} "
       f" cores (+): (x, y, w)  cores (-): (x, y, w)")
 first_vor_sum = None
 for n in sampled:

@@ -75,6 +75,18 @@ def test_morton_sort_preserves_field_and_dead_rows_last():
                                atol=1e-6)
 
 
+def test_max_corner_point_does_not_collide_with_dead_sentinel():
+    # a live point at the bounding-box max corner has raw key 0xFFFFFFFF
+    # in 2D — it must still sort before dead rows
+    pts = np.array([[1.0, 1.0], [0.0, 0.0], [0.5, 0.5], [9.9, 9.9]],
+                   np.float32)
+    valid = jnp.asarray([True, True, True, False])
+    order = np.asarray(morton.morton_order(jnp.asarray(pts), valid))
+    assert order[-1] == 3  # the dead row sorts last
+    v = np.asarray(valid)[order]
+    assert v[:3].all() and not v[3:].any()
+
+
 def test_numpy_and_jax_orders_agree():
     rng = np.random.RandomState(11)
     for d in (2, 3):

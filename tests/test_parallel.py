@@ -259,3 +259,106 @@ def test_sharded_projection_epoch_3d_matches_single_device(monkeypatch):
         np.testing.assert_allclose(np.asarray(p_out[k]),
                                    np.asarray(p_ref[k]), rtol=2e-4,
                                    atol=1e-6, err_msg=k)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("backend,rtol", [("dense", 2e-4),
+                                          ("pallas", 1e-3)])
+def test_sharded_projection_epoch_karman(monkeypatch, backend, rtol):
+    """Karman exercises BOTH boundary samplers (type-1 Dirichlet cylinder +
+    5-edge flux) in the sharded projection epoch; the pallas variant runs
+    the kernels per shard (interpret mode on CPU)."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver import covector, losses
+    from gaussian_fluids_tpu.solver.project import ProjectWeights
+
+    scene = get_scene_2d("karman")
+    sf = scene.scaling_factor
+    adv = jnp.asarray(scene.advance_domain, jnp.float32)
+    lo = jnp.stack([adv[0], adv[2]]) * sf
+    hi = jnp.stack([adv[1], adv[3]]) * sf
+    n, b = 128, 32
+    dt = jnp.asarray(0.05, jnp.float32)
+    w = ProjectWeights()
+    rng = np.random.RandomState(12)
+    spec = FieldSpec.create(tuple(np.asarray(lo)), tuple(np.asarray(hi)),
+                            n, d=2, vdim=2)
+
+    def rand_mix(seed):
+        r = np.random.RandomState(seed)
+        span = np.asarray(hi) - np.asarray(lo)
+        m = GaussianMixture.create(
+            r.uniform(np.asarray(lo) + 0.1 * span,
+                      np.asarray(hi) - 0.1 * span, (n, 2)), spec,
+            pad=False)
+        sca = m.scalings + jnp.asarray(0.2 * r.randn(n, 2), jnp.float32)
+        rot = jnp.asarray(r.uniform(-1, 1, (n,)), jnp.float32)
+        return GaussianMixture(
+            m.positions, sca, rot,
+            jnp.asarray(0.1 * r.randn(n, 2), jnp.float32), m.alive)
+
+    mix, old_mix = rand_mix(13), rand_mix(14)
+    data = jnp.asarray(
+        rng.uniform(np.asarray(lo), np.asarray(hi), (b, 2)), jnp.float32)
+    bd1, bval1 = scene.boundary_sampler_1(jax.random.PRNGKey(7), b, adv)
+    bd, bn, bnr = scene.boundary_sampler_2(jax.random.PRNGKey(8), 8, adv)
+    assert bd.shape[0] == 40  # 5-edge sampler: 5n rows
+
+    # ---- single-device reference (dense) ----
+    params, alive = mix.params(), mix.alive
+    pos_org = jax.lax.stop_gradient(mix.positions)
+    ref_vor = jax.lax.stop_gradient(covector.advected_vorticity_2d(
+        old_mix, spec, data, dt, lo, hi))
+    h1 = lambda val, jac: w.vor * losses.vorticity_loss_2d(jac, ref_vor)
+    h2 = lambda val, jac: w.div * losses.divergence_loss(jac)
+    (l_vor, l_div), (g_vor, g_div) = field.two_head_grads(
+        params, alive, spec, data, h1, h2, heads_use_val=False)
+    g_data = losses.pcgrad_combine(g_vor, g_div)
+
+    def rest(p):
+        m = GaussianMixture(p["positions"], p["scalings"], p["rotations"],
+                            p["values"], alive)
+        total = (w.aniso * losses.aniso_loss(p["scalings"], alive)
+                 + w.vol * losses.volume_loss(p["scalings"], alive)
+                 + w.delta_pos * losses.delta_pos_loss(
+                     p["positions"], pos_org, alive))
+        c1 = losses.boundary_dirichlet_loss(
+            field.value(m, spec, bd1, need_dx=False), bval1)
+        c2 = losses.boundary_flux_loss(
+            field.value(m, spec, bd, need_dx=False), bn, bnr)
+        return total + 1.0 * (c1 + c2)
+
+    l_rest, g_rest = jax.value_and_grad(rest)(params)
+    grads = {k: g_rest[k] + g_data[k] for k in params}
+    opt = optim.init(params, {k: 1e-4 for k in params}, patience=50)
+    p_ref, _ = optim.step(opt, params, grads, l_vor + l_div + l_rest)
+
+    # ---- sharded epoch ----
+    monkeypatch.setenv("GF_FIELD_BACKEND", backend)
+    mesh = sharding.make_mesh(4, 2)
+    step, place, data_shard = sharding.make_sharded_project_step_2d(
+        spec, mesh, "karman", boundary_lambda=1.0, weights=w)
+    opt2 = optim.init(mix.params(), {k: 1e-4 for k in mix.params()},
+                      patience=50)
+    sp, sopt, salive, spos_org, sold, sold_alive = place(
+        mix.params(), opt2, mix.alive, pos_org, old_mix.params(),
+        old_mix.alive)
+    put_b = lambda a: jax.device_put(a, data_shard)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    p_out, _, ls = step(sp, sopt, salive, spos_org, sold, sold_alive,
+                        adv, dt, put_b(data), put_b(bd1), put_b(bval1),
+                        put_b(bd), put_b(bn),
+                        jax.device_put(bnr, NamedSharding(mesh,
+                                                          P("batch"))))
+    np.testing.assert_allclose(float(ls[0]), float(l_vor), rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(ls[1]), float(l_div), rtol=1e-3,
+                               atol=1e-6)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_out[k]),
+                                   np.asarray(p_ref[k]), rtol=rtol,
+                                   atol=1e-5, err_msg=k)
