@@ -333,12 +333,13 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
 #     the pmean (_pcgrad_sharded)
 #   * regularizers: _global_masked_mean / _aniso_vol_sharded.
 #
-# Known cost gap vs the single-device epoch: the two PCGrad heads pull
-# back through the psum'd forward with TWO jax.vjp sweeps, where the
-# single-device path fuses them into one dual-cotangent kernel backward
-# (ops/field.py two_head_grads). Fusing the dual backward per-shard under
-# shard_map needs the kernel-level cotangent plumbing exposed through the
-# psum boundary — future work; parity and scaling semantics are unaffected.
+# The PCGrad heads psum the local field partials INSIDE the head
+# functions, so ``field.two_head_grads`` applies unchanged per shard: the
+# psum transpose broadcasts each head's cotangent at the global output
+# back to every shard, the fused dual-cotangent kernel backward runs once
+# per shard (same cost shape as the single-device epoch), and the param
+# cotangents already live on the local Gaussian shard (no gradient psum
+# over the gauss axis).
 
 def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
                                  scene_name: str,
@@ -430,21 +431,23 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
         ref_vor = jax.lax.stop_gradient(
             _covector(old_mix, data, dt, lo, hi, sorting))
 
-        def field_out(p):
-            val_p, jac_p = field.value_and_jac(_mix_of(p, alive), spec,
-                                               data, presorted=sorting,
-                                               need_dx=False)
-            return _psum_g(val_p), _psum_g(jac_p)
+        # Heads psum the LOCAL (val, jac) partials internally: the psum
+        # transpose broadcasts each head's global-output cotangent back to
+        # every shard, so field.two_head_grads runs its fused
+        # dual-cotangent kernel backward per shard (ONE backward sweep for
+        # both PCGrad heads, as on a single device) and its param
+        # cotangents land directly on the local Gaussian shard — no psum
+        # of gradients over the gauss axis is needed.
+        def head_vor(val, jac):
+            return w.vor * losses.vorticity_loss_2d(_psum_g(jac), ref_vor)
 
-        (val, jac), f_vjp = jax.vjp(field_out, params)
-        l_vor, vor_vjp = jax.vjp(
-            lambda j: w.vor * losses.vorticity_loss_2d(j, ref_vor), jac)
-        l_div, div_vjp = jax.vjp(
-            lambda j: w.div * losses.divergence_loss(j), jac)
-        one = jnp.ones(())
-        zval = jnp.zeros_like(val)
-        g_vor = _pmean_b(f_vjp((zval, vor_vjp(one)[0]))[0])
-        g_div = _pmean_b(f_vjp((zval, div_vjp(one)[0]))[0])
+        def head_div(val, jac):
+            return w.div * losses.divergence_loss(_psum_g(jac))
+
+        (l_vor, l_div), (g_vor, g_div) = field.two_head_grads(
+            params, alive, spec, data, head_vor, head_div,
+            presorted=sorting, heads_use_val=False)
+        g_vor, g_div = _pmean_b(g_vor), _pmean_b(g_div)
         g_data = _pcgrad_sharded(g_vor, g_div)
 
         def rest(p):
@@ -569,22 +572,20 @@ def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
         ref_vor = jax.lax.stop_gradient(ref_vor)
         ref_hel = jax.lax.stop_gradient(ref_hel)
 
-        def field_out(p):
-            val_p, jac_p = field.value_and_jac(_mix_of(p, alive), spec,
-                                               data, presorted=sorting,
-                                               need_dx=False)
-            return _psum_g(val_p), _psum_g(jac_p)
+        # psum-inside-heads: see the 2D step — one fused dual-cotangent
+        # backward per shard, param cotangents land on the local shard.
+        def head_vorhel(val, jac):
+            val, jac = _psum_g(val), _psum_g(jac)
+            return (w.vor * losses.vorticity_loss_3d(jac, ref_vor)
+                    + w.hel * losses.helicity_loss(val, jac, ref_hel))
 
-        (val, jac), f_vjp = jax.vjp(field_out, params)
-        l_vorhel, vh_vjp = jax.vjp(
-            lambda v, j: (w.vor * losses.vorticity_loss_3d(j, ref_vor)
-                          + w.hel * losses.helicity_loss(v, j, ref_hel)),
-            val, jac)
-        l_div, div_vjp = jax.vjp(
-            lambda j: w.div * losses.divergence_loss(j), jac)
-        one = jnp.ones(())
-        g_vor = _pmean_b(f_vjp(vh_vjp(one))[0])
-        g_div = _pmean_b(f_vjp((jnp.zeros_like(val), div_vjp(one)[0]))[0])
+        def head_div(val, jac):
+            return w.div * losses.divergence_loss(_psum_g(jac))
+
+        (l_vorhel, l_div), (g_vor, g_div) = field.two_head_grads(
+            params, alive, spec, data, head_vorhel, head_div,
+            presorted=sorting)
+        g_vor, g_div = _pmean_b(g_vor), _pmean_b(g_div)
         g_data = _pcgrad_sharded(g_vor, g_div)
 
         def rest(p):
