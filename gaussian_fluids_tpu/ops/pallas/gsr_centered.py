@@ -354,7 +354,11 @@ def fused_gsr_centered_bwd3(tmask, x, muT, ppT, values, dout1, dout2,
     np_ = ppT.shape[0]
     nmp = d + np_
     cols = (1 + njac) * vdim
-    assert data_rows % tb == 0, (data_rows, tb)
+    assert B % tb == 0 and N % tn == 0, (B, N, tb, tn)
+    assert tmask.shape == (B // tb, N // tn), (tmask.shape, B // tb, N // tn)
+    # data_rows > B would make the boundary branch unreachable and return
+    # silently-zero boundary cotangents
+    assert 0 <= data_rows <= B and data_rows % tb == 0, (data_rows, B, tb)
     assert dout1.shape == (B, cols) and dout2.shape == (B, cols), (
         dout1.shape, dout2.shape, B, cols)
     assert dout3.shape == (B, vdim), (dout3.shape, B, vdim)
@@ -433,6 +437,8 @@ def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac,
     N = muT.shape[1]
     np_ = ppT.shape[0]
     cols = (1 + njac) * vdim
+    assert B % tb == 0 and N % tn == 0, (B, N, tb, tn)
+    assert tmask.shape == (B // tb, N // tn), (tmask.shape, B // tb, N // tn)
     dx = None if not need_dx else pl.pallas_call(
         functools.partial(_bwd_dx_kernel, d=d, vdim=vdim, clamp=clamp,
                           nsteps=N // tn, njac=njac),
@@ -484,6 +490,11 @@ def _bwd(tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn, njac,
                    jax.ShapeDtypeStruct((N, vdim), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((d + np_, tn), jnp.float32),
                         pltpu.VMEM((tn, vdim), jnp.float32)],
+        # same raised scoped-vmem budget as the dual kernel (see
+        # fused_gsr_centered_bwd2): the single-cotangent working set is
+        # ~half the dual's but can still brush the 16 MB default at large
+        # tb; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=_interpret(),
     )(tmask, x, muT, ppT, values, dout)
     if dx is None:
@@ -506,6 +517,8 @@ def fused_gsr_centered_bwd2(tmask, x, muT, ppT, values, dout1, dout2,
     np_ = ppT.shape[0]
     nmp = d + np_
     cols = (1 + njac) * vdim
+    assert B % tb == 0 and N % tn == 0, (B, N, tb, tn)
+    assert tmask.shape == (B // tb, N // tn), (tmask.shape, B // tb, N // tn)
     assert dout1.shape == (B, cols) and dout2.shape == (B, cols), (
         dout1.shape, dout2.shape, B, cols)
     dmp_spec = pl.BlockSpec((nmp, tn), lambda j, i: (0, j),
@@ -626,20 +639,30 @@ def _val_banded_kernel(jlo_ref, x_ref, muT_ref, ppT_ref, v_ref, out_ref,
 
 def fused_gsr_value_banded(jlo, x, muT, ppT, values, d, vdim, clamp,
                            tb, tn, band):
-    """out (B, vdim) = field value; jlo (B//tb,) i32 window starts
-    (caller clamps to [0, N//tn - band])."""
+    """out (B, vdim) = field value; jlo (B//tb,) i32 window starts.
+    The index maps clamp the window start into [0, N//tn - band], so a
+    caller-supplied jlo can never index blocks past the arrays (the
+    documented contract in field.value_banded, made unbreakable here)."""
     B = x.shape[0]
     N = muT.shape[1]
     np_ = ppT.shape[0]
     assert B % tb == 0 and N % tn == 0 and band <= N // tn
+    assert jlo.shape == (B // tb,), (jlo.shape, B // tb)
+    jmax = N // tn - band
+
+    def _jl(jlo, i):
+        return jnp.clip(jlo[i], 0, jmax)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // tb, band),
         in_specs=[
             pl.BlockSpec((tb, d), lambda i, j, jlo: (i, 0)),
-            pl.BlockSpec((d, tn), lambda i, j, jlo: (0, jlo[i] + j)),
-            pl.BlockSpec((np_, tn), lambda i, j, jlo: (0, jlo[i] + j)),
-            pl.BlockSpec((tn, vdim), lambda i, j, jlo: (jlo[i] + j, 0)),
+            pl.BlockSpec((d, tn), lambda i, j, jlo: (0, _jl(jlo, i) + j)),
+            pl.BlockSpec((np_, tn),
+                         lambda i, j, jlo: (0, _jl(jlo, i) + j)),
+            pl.BlockSpec((tn, vdim),
+                         lambda i, j, jlo: (_jl(jlo, i) + j, 0)),
         ],
         out_specs=pl.BlockSpec((tb, vdim), lambda i, j, jlo: (i, 0)),
         scratch_shapes=[pltpu.VMEM((tb, vdim), jnp.float32)],
