@@ -190,3 +190,10 @@ class GaussianMixture:
         reference 2D/GSR.py:226)."""
         s = jnp.where(self.alive[:, None], self.scalings, jnp.inf)
         return jnp.min(s)
+
+
+def mixture_of(params, alive) -> GaussianMixture:
+    """Mixture view over a param dict + alive mask — the hot-loop
+    constructor shared by the solver phases and the sharded steps."""
+    return GaussianMixture(params["positions"], params["scalings"],
+                           params["rotations"], params["values"], alive)

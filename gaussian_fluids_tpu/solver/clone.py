@@ -24,10 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussian_fluids_tpu.config import FieldSpec
-from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.models.mixture import GaussianMixture, mixture_of
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.ops.rotations import precision_matrix
 from gaussian_fluids_tpu.solver import losses, optim
+from gaussian_fluids_tpu.solver.loop import Patience, run_chunked
 from gaussian_fluids_tpu.utils.grids import pad_chunks
 from gaussian_fluids_tpu.utils import rng as rng_utils
 
@@ -35,24 +36,15 @@ from gaussian_fluids_tpu.utils import rng as rng_utils
 def _repad_like(mix: GaussianMixture, capacity: int,
                 spec: FieldSpec) -> GaussianMixture:
     """Re-pad a mixture to a target capacity (>= its alive count) so the
-    old/new fields share one jit specialization per bucket size."""
+    old/new fields share one jit specialization per bucket size.
+    ``from_arrays(min_capacity=...)`` owns the padded-row invariants
+    (dead rows parked at spec.lo, identity quaternions)."""
     if mix.capacity == capacity:
         return mix
     m = mix.compact()
-
-    def pad(a, fill=0.0):
-        out = np.full((capacity,) + a.shape[1:], fill, np.float32)
-        out[: a.shape[0]] = np.asarray(a)
-        return jnp.asarray(out)
-
-    pos = pad(m.positions)
-    pos = pos.at[int(m.positions.shape[0]):].set(
-        jnp.asarray(spec.lo, jnp.float32))
-    rot = pad(m.rotations)
-    if spec.d == 3:
-        rot = rot.at[int(m.positions.shape[0]):, 0].set(1.0)
-    alive = jnp.zeros((capacity,), bool).at[: m.positions.shape[0]].set(True)
-    return GaussianMixture(pos, pad(m.scalings), rot, pad(m.values), alive)
+    return GaussianMixture.from_arrays(m.positions, m.scalings, m.rotations,
+                                       m.values, spec,
+                                       min_capacity=capacity)
 
 
 def _sample_children(rng: np.random.RandomState, mu: np.ndarray,
@@ -175,9 +167,7 @@ def _unfreeze_neighbors(mix: GaussianMixture, spec: FieldSpec,
     return jnp.asarray(stop_full) & ~near
 
 
-def _mixf(p, alive):
-    return GaussianMixture(p["positions"], p["scalings"], p["rotations"],
-                           p["values"], alive)
+_mixf = mixture_of
 
 
 @functools.lru_cache(maxsize=None)
@@ -304,54 +294,26 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
         lv, lg = metrics(carry)
         print(f"[clone] loss: {lv}, loss_grad: {lg}")
 
-    pat_v, pat_g = _ClonePatience(1e-3), _ClonePatience(1e-3)
+    pat_v, pat_g = Patience(1e-3), Patience(1e-3)
     st = time.time()
 
-    # Speculative chunk pipeline (see project.py): dispatch chunk k+1
-    # before fetching chunk k's test metrics so the metric round trip
-    # overlaps device compute; abandoned on early stop.
     def dispatch(c, n):
         nonlocal key
         key, sub = rng_utils.split2(key)
         c2, _ = run_chunk(c, sub, n)
-        return c2, test_fn(c2[0], c2[2], test_x_s, test_ref)
+        return c2, None, test_fn(c2[0], c2[2], test_x_s, test_ref)
 
-    done = 0
-    if max_epoch > 0:
-        cand_n = min(check_iter, max_epoch)
-        cand, m = dispatch(carry, cand_n)
-        while True:
-            nxt = None
-            if done + cand_n < max_epoch:
-                nxt_n = min(check_iter, max_epoch - done - cand_n)
-                nxt, nxt_m = dispatch(cand, nxt_n)
-            lv, lg = jax.device_get(m)
-            done += cand_n
-            carry = cand
-            if verbose:
-                print(f"[clone] loss: {lv}, loss_grad: {lg}, "
-                      f"time: {time.time() - st}")
-                st = time.time()
-            pat_v.update(float(lv), cand_n)
-            pat_g.update(float(lg), cand_n)
-            if pat_v.iters >= patience and pat_g.iters >= patience:
-                print("[clone] Total epoch:", done)
-                break
-            if nxt is None:
-                print("[clone] Total epoch:", max_epoch,
-                      "(Reached maximum iteration number)")
-                break
-            cand, m, cand_n = nxt, nxt_m, nxt_n
+    def on_chunk(mh, _aux, n):
+        nonlocal st
+        lv, lg = mh
+        if verbose:
+            print(f"[clone] loss: {lv}, loss_grad: {lg}, "
+                  f"time: {time.time() - st}")
+            st = time.time()
+        pat_v.update(float(lv), n)
+        pat_g.update(float(lg), n)
+        return pat_v.iters >= patience and pat_g.iters >= patience
 
+    carry, _ = run_chunked(carry, dispatch, max_epoch, check_iter,
+                           on_chunk, "clone")
     return new_mix.with_params(carry[0])
-
-
-class _ClonePatience:
-    def __init__(self, rel):
-        self.best, self.iters, self.rel = np.inf, 0, rel
-
-    def update(self, value, check_iter):
-        if value < self.best * (1.0 - self.rel):
-            self.best, self.iters = value, 0
-        else:
-            self.iters += check_iter

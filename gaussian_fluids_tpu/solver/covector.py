@@ -54,7 +54,7 @@ def advected_vorticity_2d_rk1(vel_mix: GaussianMixture, spec: FieldSpec,
     """The reference's alternative 'rk1-backtrace' scheme (unused by
     default, 2D/advance.py:34-44): single-step backtrace x - u(x) dt."""
     from gaussian_fluids_tpu.ops import field
-    v, dv0 = field.value_and_jac(vel_mix, spec, x)
+    v = field.value(vel_mix, spec, x, need_dx=False)
     bk_x = x - v * dt
     _, dv = field.value_and_jac(vel_mix, spec, bk_x)
     vor = losses.curl2d(dv)

@@ -2,8 +2,9 @@
 
 Replaces the reference's Python epoch loop `fit_velocity_with_gradient`
 (reference 2D/initialize.py:10-41, 3D/initialize.py:9-46) with a jitted
-``lax.scan`` over epochs, chunked by ``log_every`` so progress prints and
-early termination stay host-side while each chunk runs as one XLA program.
+``lax.scan`` over epochs, chunked by ``log_every`` so progress prints stay
+host-side while each chunk runs as one XLA program (fit has no early stop
+— the reference runs its full epoch budget, 2D/initialize.py:223-226).
 
 Per epoch (identical math to the reference):
   * sample a fresh uniform batch in the (scaled) fit domain

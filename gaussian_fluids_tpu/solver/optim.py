@@ -57,8 +57,7 @@ def init(params: Params, lrs: Dict[str, float], patience: int = 50) -> OptState:
     return OptState(groups=groups, patience=jnp.asarray(patience, jnp.int32))
 
 
-def _adam_group(g: GroupState, p: jnp.ndarray, grad: jnp.ndarray,
-                metric: jnp.ndarray):
+def _adam_group(g: GroupState, p: jnp.ndarray, grad: jnp.ndarray):
     t = g.step + 1
     m = BETA1 * g.m + (1.0 - BETA1) * grad
     v = BETA2 * g.v + (1.0 - BETA2) * grad * grad
@@ -85,8 +84,7 @@ def step(state: OptState, params: Params, grads: Params,
     (reference 2D/GSR.py:165-169)."""
     new_params, new_groups = {}, {}
     for k in params:
-        p_new, g_new = _adam_group(state.groups[k], params[k], grads[k],
-                                   metric)
+        p_new, g_new = _adam_group(state.groups[k], params[k], grads[k])
         g_new = _plateau_group(g_new, metric, state.patience)
         new_params[k] = p_new
         new_groups[k] = g_new

@@ -33,9 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaussian_fluids_tpu.config import FieldSpec
-from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.models.mixture import GaussianMixture, mixture_of
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import covector, losses, optim
+from gaussian_fluids_tpu.solver.loop import Patience, run_chunked
 from gaussian_fluids_tpu.utils.grids import pad_chunks
 from gaussian_fluids_tpu.utils import rng
 
@@ -59,22 +60,7 @@ def _uniform_batch(key, n, lo, hi):
     return jax.random.uniform(key, (n, d), jnp.float32) * (hi - lo) + lo
 
 
-def _mix(p, alive):
-    return GaussianMixture(p["positions"], p["scalings"], p["rotations"],
-                           p["values"], alive)
-
-
-class _Patience:
-    """Reference early-stop bookkeeping (2D/advance.py:288-300)."""
-
-    def __init__(self, rel):
-        self.best, self.iters, self.rel = np.inf, 0, rel
-
-    def update(self, value, check_iter):
-        if value < self.best * (1.0 - self.rel):
-            self.best, self.iters = value, 0
-        else:
-            self.iters += check_iter
+_mix = mixture_of
 
 
 # --------------------------------------------------------------------------
@@ -235,48 +221,28 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
         print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
               f"loss_div_max: {ldm}")
 
-    pat_vor, pat_div = _Patience(1e-3), _Patience(1e-2)
+    pat_vor, pat_div = Patience(1e-3), Patience(1e-2)
     st = time.time()
 
-    # Speculative chunk pipeline: dispatch chunk k+1 BEFORE fetching chunk
-    # k's test metrics, so the device crunches the next chunk while the
-    # metric verdict's device->host round trip is in flight (that round
-    # trip costs ~a third of a 100-epoch chunk on remote-attached TPUs).
-    # On early stop the in-flight chunk is simply abandoned — the returned
-    # state is identical to the sequential loop's.
     def dispatch(c, n):
         nonlocal key
         key, sub = rng.split2(key)
         c2, _ = run_chunk(c, sub, n)
-        return c2, test_fn(c2[0], c2[2], test_x, test_ref)
+        return c2, None, test_fn(c2[0], c2[2], test_x, test_ref)
 
-    done = 0
-    if max_epoch > 0:
-        cand_n = min(check_iter, max_epoch)
-        cand, m = dispatch(carry, cand_n)
-        while True:
-            nxt = None
-            if done + cand_n < max_epoch:
-                nxt_n = min(check_iter, max_epoch - done - cand_n)
-                nxt, nxt_m = dispatch(cand, nxt_n)
-            lv, ld, ldm = jax.device_get(m)
-            done += cand_n
-            carry = cand
-            if verbose:
-                print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
-                      f"loss_div_max: {ldm}, time: {time.time() - st}")
-                st = time.time()
-            pat_vor.update(float(lv), cand_n)
-            pat_div.update(float(ld), cand_n)
-            if pat_vor.iters >= patience and pat_div.iters >= patience:
-                print("[projection] Total epoch:", done)
-                break
-            if nxt is None:
-                print("[projection] Total epoch:", max_epoch,
-                      "(Reached maximum iteration number)")
-                break
-            cand, m, cand_n = nxt, nxt_m, nxt_n
+    def on_chunk(mh, _aux, n):
+        nonlocal st
+        lv, ld, ldm = mh
+        if verbose:
+            print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
+                  f"loss_div_max: {ldm}, time: {time.time() - st}")
+            st = time.time()
+        pat_vor.update(float(lv), n)
+        pat_div.update(float(ld), n)
+        return pat_vor.iters >= patience and pat_div.iters >= patience
 
+    carry, _ = run_chunked(carry, dispatch, max_epoch, check_iter,
+                           on_chunk, "projection")
     return mix.with_params(carry[0])
 
 
@@ -428,57 +394,42 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
         print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, loss_div: {ld},"
               f" loss_div_max: {ldm}")
 
-    pat_vor, pat_hel, pat_div = (_Patience(1e-3), _Patience(1e-3),
-                                 _Patience(1e-3))
+    pat_vor, pat_hel, pat_div = (Patience(1e-3), Patience(1e-3),
+                                 Patience(1e-3))
     curves = {"train_vor": [], "train_div": [], "log_lr": [],
               "test_vor": [], "test_div": []}
     st = time.time()
 
-    # Speculative chunk pipeline (see the 2D loop): the next chunk is
-    # dispatched before this chunk's metric verdict round-trips to host.
     def dispatch(c, n):
         nonlocal key
         key, sub = rng.split2(key)
         c2, aux = run_chunk(c, sub, n)
-        return c2, aux, test_fn(c2[0], c2[2], test_x, test_ref)
+        return c2, (c2, aux), test_fn(c2[0], c2[2], test_x, test_ref)
 
-    done = 0
-    if max_epoch > 0:
-        cand_n = min(check_iter, max_epoch)
-        cand, aux, m = dispatch(carry, cand_n)
-        while True:
-            nxt = None
-            if done + cand_n < max_epoch:
-                nxt_n = min(check_iter, max_epoch - done - cand_n)
-                nxt, nxt_aux, nxt_m = dispatch(cand, nxt_n)
-            lv, lh, ld, ldm = jax.device_get(m)
-            done += cand_n
-            carry = cand
-            if collect_curves:
-                aux_np = np.asarray(jax.device_get(aux))
-                curves["train_vor"].extend(aux_np[:, 0].tolist())
-                curves["train_div"].extend(aux_np[:, 1].tolist())
-                lr = float(carry[1].groups["scalings"].lr)
-                curves["log_lr"].extend([np.log(lr)] * cand_n)
-                curves["test_vor"].append(float(lv))
-                curves["test_div"].append(float(ld))
-            if verbose:
-                print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, "
-                      f"loss_div: {ld}, loss_div_max: {ldm}, "
-                      f"time: {time.time() - st}")
-                st = time.time()
-            pat_vor.update(float(lv), cand_n)
-            pat_hel.update(float(lh), cand_n)
-            pat_div.update(float(ld), cand_n)
-            if (pat_vor.iters >= patience and pat_hel.iters >= patience
-                    and pat_div.iters >= patience):
-                print("[projection] Total epoch:", done)
-                break
-            if nxt is None:
-                print("[projection] Total epoch:", max_epoch,
-                      "(Reached maximum iteration number)")
-                break
-            cand, aux, m, cand_n = nxt, nxt_aux, nxt_m, nxt_n
+    def on_chunk(mh, aux_pair, n):
+        nonlocal st
+        lv, lh, ld, ldm = mh
+        if collect_curves:
+            c2, aux = aux_pair
+            aux_np = np.asarray(jax.device_get(aux))
+            curves["train_vor"].extend(aux_np[:, 0].tolist())
+            curves["train_div"].extend(aux_np[:, 1].tolist())
+            lr = float(c2[1].groups["scalings"].lr)
+            curves["log_lr"].extend([np.log(lr)] * n)
+            curves["test_vor"].append(float(lv))
+            curves["test_div"].append(float(ld))
+        if verbose:
+            print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, "
+                  f"loss_div: {ld}, loss_div_max: {ldm}, "
+                  f"time: {time.time() - st}")
+            st = time.time()
+        pat_vor.update(float(lv), n)
+        pat_hel.update(float(lh), n)
+        pat_div.update(float(ld), n)
+        return (pat_vor.iters >= patience and pat_hel.iters >= patience
+                and pat_div.iters >= patience)
 
+    carry, _ = run_chunked(carry, dispatch, max_epoch, check_iter,
+                           on_chunk, "projection")
     result = mix.with_params(carry[0])
     return (result, curves) if collect_curves else result

@@ -156,16 +156,19 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
             mix, spec, lo=lo, hi=hi, test_x=test_x, key=kc, seed=cnt, d=3,
             batch_size=batch_size, max_epoch=max_epoch, verbose=verbose)
         new_mix = advect_covector_field_3d(new_mix, mix, spec, dt)
-        new_mix, curves = project_3d(
+        res = project_3d(
             new_mix, spec, mix, dt, domain=domain, test_x=test_x, key=kp,
             scene_name=init_cond,
             weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
                                    delta_pos=0.0, hel=1.0, val_reg=0.0),
             boundary_lambda=boundary_lambda, batch_size=batch_size,
-            max_epoch=max_epoch, verbose=verbose, collect_curves=True)
+            max_epoch=max_epoch, verbose=verbose, collect_curves=viz)
         if viz:
+            new_mix, curves = res
             _plot_loss_curves(curves, os.path.join(out_dir,
                                                    f"loss_{cnt}.png"))
+        else:
+            new_mix = res
         mix = new_mix
         print(f"Wrote frame {cnt}")
         if viz:
@@ -277,8 +280,12 @@ def advected_density(density, mix, spec, domain, dt, grid_shape,
         # path at EVERY mixture size (measured 1.1 s vs 193 s per 32k
         # chunk at N=4096 — the (B, K) candidate gathers are an XLA-CPU
         # compile/runtime pathology). Bound the (B, N) temporaries by
-        # shrinking the chunk with N instead.
-        chunk = min(chunk, max(4096, (1 << 29) // max(mix.capacity, 1)))
+        # shrinking the chunk with N instead — floored to a power of two
+        # so the chunk (and with it the _grid_chunks_device /
+        # _density_step_dense caches) stays stable while the capacity
+        # drifts across 512-buckets over a replay.
+        cap_chunk = max(4096, (1 << 29) // max(mix.capacity, 1))
+        chunk = min(chunk, 1 << (cap_chunk.bit_length() - 1))
         step_chunk = _density_step_dense(spec, tuple(domain))
 
     xcs, n = _grid_chunks_device(tuple(domain), (xn, yn, zn), chunk)
