@@ -50,7 +50,24 @@ def save_checkpoint(path: str, mix: GaussianMixture, spec: FieldSpec) -> None:
 
 
 def load_checkpoint(path: str) -> Tuple[GaussianMixture, FieldSpec]:
-    if _HAVE_TORCH:
+    import os
+
+    # Probe what actually exists rather than assuming the save-side
+    # environment: a torch-pickle .pt from a torch-equipped trainer must
+    # load on a torch-less replayer's .npz fallback path and vice versa.
+    if _HAVE_TORCH and not os.path.exists(path) \
+            and os.path.exists(path + ".npz"):
+        data = np.load(path + ".npz")
+        get = lambda k: np.asarray(data[k], np.float32)
+        dr = tuple(float(v) for v in data["domain_range"])
+        clamp = float(data["clamp_threshold"])
+        mgs = float(data["min_grid_scale"])
+    elif not _HAVE_TORCH and not os.path.exists(path + ".npz") \
+            and os.path.exists(path):  # pragma: no cover
+        raise RuntimeError(
+            f"{path} is a torch-pickle checkpoint but torch is not "
+            f"available in this environment")
+    elif _HAVE_TORCH:
         data = torch.load(path, map_location="cpu", weights_only=False)
         get = lambda k: np.asarray(data[k].detach().cpu().numpy()
                                    if hasattr(data[k], "detach")

@@ -84,6 +84,10 @@ def write_vti_field(field_fn, domain, save_filename: str,
     for i in range(0, pts.shape[0], chunk):
         out[i:i + chunk] = np.asarray(field_fn(pts[i:i + chunk]))
     V = out.reshape(x_n, y_n, z_n)
+    # spacing extent/n (not /(n-1)) over endpoint-inclusive sample grids
+    # is the reference's convention verbatim (reference 3D/GSR.py:737:
+    # SetSpacing((x_max - x_min) / x_N, ...)); kept for artifact parity
+    # even though it renders the volume (n-1)/n-compressed toward origin.
     write_vti_array(
         V, (x_min, y_min, z_min),
         ((x_max - x_min) / x_n, (y_max - y_min) / y_n,

@@ -362,6 +362,22 @@ def _tile_mask(x_p, valid_b, mu_p, dead_n, scalings_p, spec,
     return ok.astype(jnp.int32)
 
 
+def _padded_param_rows(mix: GaussianMixture, spec: FieldSpec, tn: int):
+    """(mu_p, pp_p, v_p): tn-padded parameter rows with the dead/padded-row
+    +1e9 bias — the single (differentiable) source of the packed-row
+    layout consumed by every centered-kernel wrapper and both VJP preps.
+    The bias-row position and padding semantics must never drift between
+    the forward wrappers and the gradient preps; keep them here only."""
+    dead = ~in_domain_mask(mix, spec)
+    pp = _packed_precisions(mix, dead)
+    mu_p = _pad_axis(mix.positions, tn, axis=0)
+    pp_p = _pad_axis(pp, tn, axis=0)
+    nb = mix.d * (mix.d + 1) // 2
+    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)   # padded rows never fire
+    v_p = _pad_axis(mix.values, tn, axis=0)
+    return mu_p, pp_p, v_p
+
+
 def _centered_prep(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
                    tb: int, tn: int, presorted: bool):
     """Shared prep for the centered kernel wrappers: optional coordinate
@@ -379,14 +395,9 @@ def _centered_prep(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
         inv = jnp.argsort(order)
         x = x[order]
     dead = ~in_domain_mask(mix, spec)
-    pp = _packed_precisions(mix, dead)
     x_p = _pad_axis(x, tb, axis=0)
     bp = x_p.shape[0]
-    mu_p = _pad_axis(mix.positions, tn, axis=0)
-    pp_p = _pad_axis(pp, tn, axis=0)
-    nb = d * (d + 1) // 2
-    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)   # padded rows never fire
-    v_p = _pad_axis(mix.values, tn, axis=0)
+    mu_p, pp_p, v_p = _padded_param_rows(mix, spec, tn)
     if sparse:
         valid_b = jnp.arange(bp) < b
         dead_n = _pad_axis(dead.astype(jnp.float32), tn, axis=0,
@@ -511,13 +522,7 @@ def two_head_grads_centered(params, alive, spec: FieldSpec, x: jnp.ndarray,
     def prep(p):
         mix = GaussianMixture(p["positions"], p["scalings"],
                               p["rotations"], p["values"], alive)
-        dead = ~in_domain_mask(mix, spec)
-        pp = _packed_precisions(mix, dead)
-        mu_p = _pad_axis(mix.positions, tn, axis=0)
-        pp_p = _pad_axis(pp, tn, axis=0)
-        nb = d * (d + 1) // 2
-        pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
-        v_p = _pad_axis(mix.values, tn, axis=0)
+        mu_p, pp_p, v_p = _padded_param_rows(mix, spec, tn)
         return mu_p.T, pp_p.T, v_p
 
     (muT, ppT, v_p), prep_vjp = jax.vjp(prep, params)
@@ -579,13 +584,7 @@ def epoch_heads_grads_centered(params, alive, spec: FieldSpec,
     def prep(p):
         mix = GaussianMixture(p["positions"], p["scalings"],
                               p["rotations"], p["values"], alive)
-        dead = ~in_domain_mask(mix, spec)
-        pp = _packed_precisions(mix, dead)
-        mu_p = _pad_axis(mix.positions, tn, axis=0)
-        pp_p = _pad_axis(pp, tn, axis=0)
-        nb = d * (d + 1) // 2
-        pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
-        v_p = _pad_axis(mix.values, tn, axis=0)
+        mu_p, pp_p, v_p = _padded_param_rows(mix, spec, tn)
         return mu_p.T, pp_p.T, v_p
 
     (muT, ppT, v_p), prep_vjp = jax.vjp(prep, params)
@@ -700,14 +699,8 @@ def rk4_valjac_fused(mix: GaussianMixture, spec: FieldSpec,
             f"query points must have shape (B, {mix.d}); got {x.shape}")
     d, vdim = mix.d, mix.vdim
     b = x.shape[0]
-    dead = ~in_domain_mask(mix, spec)
-    pp = _packed_precisions(mix, dead)
     x_p = _pad_axis(x, tb, axis=0)
-    mu_p = _pad_axis(mix.positions, tn, axis=0)
-    pp_p = _pad_axis(pp, tn, axis=0)
-    nb = d * (d + 1) // 2
-    pp_p = pp_p.at[mix.capacity:, nb].set(1e9)
-    v_p = _pad_axis(mix.values, tn, axis=0)
+    mu_p, pp_p, v_p = _padded_param_rows(mix, spec, tn)
     phi, vj = fused_rk4(x_p, mu_p.T, pp_p.T, v_p, dt, d,
                         float(spec.clamp_threshold), tb, tn, d)
     phi, vj = phi[:b], vj[:b]
@@ -746,14 +739,9 @@ def value_banded(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
         inv = jnp.argsort(order)
         xs = x[order]
     dead_rows = ~in_domain_mask(mix, spec)
-    pp = _packed_precisions(mix, dead_rows)
     x_p = _pad_axis(xs, tb, axis=0)
     bp = x_p.shape[0]
-    mu_p = _pad_axis(mix.positions, tn, axis=0)
-    pp_p = _pad_axis(pp, tn, axis=0)
-    nbq = d * (d + 1) // 2
-    pp_p = pp_p.at[mix.capacity:, nbq].set(1e9)
-    v_p = _pad_axis(mix.values, tn, axis=0)
+    mu_p, pp_p, v_p = _padded_param_rows(mix, spec, tn)
 
     nbt, nnt = bp // tb, mu_p.shape[0] // tn
     band = min(band, nnt)

@@ -8,6 +8,8 @@ Pure gather-based jnp — vectorized over arbitrary leading dims.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 
@@ -43,23 +45,19 @@ def trilinear_interp(field: jnp.ndarray, positions: jnp.ndarray,
             + g(x1, y1, z1) * wx * wy * wz)
 
 
-def seed_ring_density(shape, domain, center, normal, radius,
-                      thickness) -> jnp.ndarray:
-    """Seed a solid-torus indicator density (the reference's
-    ``ti_set_ring``, 3D/advance_density.py:13-21).
-
-    Computed ON DEVICE under jit: at the reference 512^3 grid the same
-    math in host numpy walks ~10 separate 1.6 GB temporaries through one
-    core (~8 minutes); fused on the accelerator it is sub-second."""
-    import functools
-
+@functools.lru_cache(maxsize=None)
+def _ring_builder(shape, domain):
+    """Cached jitted ring seeder for a (shape, domain): center/normal/
+    radius/thickness are runtime args, so seeding the second ring of a
+    scene (or re-seeding on replay) reuses the first's compilation —
+    lowering costs tens of seconds on the tunneled TPU runtime."""
     import jax
 
     nx, ny, nz = shape
     x_min, x_max, y_min, y_max, z_min, z_max = domain
 
-    @functools.partial(jax.jit, static_argnums=())
-    def build(center, normal):
+    @jax.jit
+    def build(center, normal, radius, thickness):
         xs = jnp.linspace(x_min, x_max, nx, dtype=jnp.float32)
         ys = jnp.linspace(y_min, y_max, ny, dtype=jnp.float32)
         zs = jnp.linspace(z_min, z_max, nz, dtype=jnp.float32)
@@ -76,5 +74,19 @@ def seed_ring_density(shape, domain, center, normal, radius,
         close = jnp.linalg.norm(pos - nearest, axis=-1) <= thickness
         return (outside_inner & close).astype(jnp.float32)
 
+    return build
+
+
+def seed_ring_density(shape, domain, center, normal, radius,
+                      thickness) -> jnp.ndarray:
+    """Seed a solid-torus indicator density (the reference's
+    ``ti_set_ring``, 3D/advance_density.py:13-21).
+
+    Computed ON DEVICE under jit: at the reference 512^3 grid the same
+    math in host numpy walks ~10 separate 1.6 GB temporaries through one
+    core (~8 minutes); fused on the accelerator it is sub-second."""
+    build = _ring_builder(tuple(shape), tuple(domain))
     return build(jnp.asarray(center, jnp.float32),
-                 jnp.asarray(normal, jnp.float32))
+                 jnp.asarray(normal, jnp.float32),
+                 jnp.asarray(radius, jnp.float32),
+                 jnp.asarray(thickness, jnp.float32))

@@ -1,19 +1,18 @@
 """Morton (Z-order) spatial sorting for the block-sparse kernel backend.
 
-The centered Pallas kernel skips (query-tile x gaussian-tile) pairs whose
-bounding boxes cannot interact (ops/field.py `_tile_mask` — the TPU
-replacement for the reference's uniform search grid, 2D/GSR.py:224-229).
-The mask test is exact in ALL dimensions, but with plain coordinate-0
-sorting a tile of TN consecutive Gaussians spans the full extent of every
-other dimension, so the mask can only cull along x (measured ~13% density
-at ring_collide 3D scale). Ordering rows along a Z-order space-filling
-curve makes every tile spatially compact in all d dimensions, which
-tightens the same mask severalfold with no change to kernel semantics
-(evaluations are order-invariant sums; callers unsort results).
-
-The banded density-backtrace kernel (ops/field.py `value_banded`) is the
-one consumer that structurally requires coordinate-0 order (its per-tile
-window starts come from x overlap) — that path keeps the x sort.
+**Status: measured NEGATIVE result, intentionally NOT wired into any
+production path** (docs/KERNELS.md, tests/test_morton.py). The centered
+Pallas kernel skips (query-tile x gaussian-tile) pairs whose bounding
+boxes cannot interact (ops/field.py `_tile_mask`); the test is exact in
+all dimensions, and the hypothesis was that Z-order tiles (compact in
+every dimension) would cull better than plain coordinate-0 slabs (thin in
+one dimension). Measured at production scales the OPPOSITE holds — mask
+density leapfrog-2D 0.60 -> 0.85, karman 0.53 -> 0.72, ring_collide-3D
+0.13 -> 0.44 — because the mask's support-radius dilation dominates tile
+extents, so one hard-culled dimension beats d weakly-culled ones. Every
+production sort therefore remains `argsort(x[:, 0])` (and the banded
+density kernel structurally requires it). The module is kept as the
+measured record and for future small-radius regimes.
 
 Keys: positions are normalized to the data's own bounding box, quantized
 to 16 (2D) / 10 (3D) bits per dimension, and bit-interleaved into a

@@ -26,6 +26,11 @@ def ring_particles(center, normal, radius, n):
         axis_x = np.array([0.0, 1.0, 0.0], np.float32)
     axis_y = np.cross(normal, axis_x)
     axis_y /= np.linalg.norm(axis_y)
+    # NOTE reference parity: `normal` is deliberately NOT normalized
+    # (reference 3D/init_cond.py:150-152), so axis_x inherits |normal| and
+    # a non-unit normal (ring_with_obstacle's (0.2, 0.2, -1)/1.08) traces
+    # the same slightly elliptical ring with non-unit tangents as the
+    # reference. Do not "fix" without diverging from the reference fields.
     axis_x = np.cross(axis_y, normal)
     theta = np.linspace(0.0, 2.0 * np.pi, n + 1, dtype=np.float32)[:-1]
     x0 = (axis_x[None] * np.cos(theta)[:, None]
@@ -40,6 +45,9 @@ def vortex_particles_velocity(x, x0, w, U, a):
     (reference 3D/init_cond.py:122-132)."""
     delta = x[:, None, :] - x0[None, :, :]        # (B, n, 3)
     r = jnp.linalg.norm(delta, axis=-1)           # (B, n)
+    # no r=0 guard, matching the reference kernel exactly (reference
+    # 3D/init_cond.py:126-127 computes 1/r^3 unguarded; query points never
+    # coincide with ring particles in any scene's sampling)
     fr = (1.0 - jnp.exp(-((r / a) ** 3))) / r ** 3
     cross = jnp.cross(jnp.broadcast_to(w[None], delta.shape), delta)
     return U * jnp.einsum("bn,bnk->bk", fr, cross)

@@ -97,6 +97,13 @@ _OTHER_INFO = {
 }
 
 
+def _scaling_factor(domain) -> float:
+    """The target-space rule, defined once (reference 2D/init_cond.py:22-25):
+    both the Scene2D property and scene construction must agree."""
+    x0, x1, y0, y1 = domain
+    return 10.0 / min(x1 - x0, y1 - y0)
+
+
 @dataclasses.dataclass
 class Scene2D:
     name: str
@@ -115,8 +122,7 @@ class Scene2D:
     def scaling_factor(self) -> float:
         """10 / min(initialize-domain extent) (reference
         2D/init_cond.py:22-25): all solving happens in this target space."""
-        x0, x1, y0, y1 = self.initialize_domain
-        return 10.0 / min(x1 - x0, y1 - y0)
+        return _scaling_factor(self.initialize_domain)
 
     # Field converters (reference 2D/init_cond.py:435-453)
     def target_velocity(self, x):
@@ -153,8 +159,7 @@ def get_scene_2d(name: str) -> Scene2D:
     if name == "karman":
         info["visualize_x_min"] = _VISUALIZE_DOMAIN["karman"][0]
     vel, jac = fields2d.make_field(name, info)
-    sf = 10.0 / min(_INITIALIZE_DOMAIN[name][1] - _INITIALIZE_DOMAIN[name][0],
-                    _INITIALIZE_DOMAIN[name][3] - _INITIALIZE_DOMAIN[name][2])
+    sf = _scaling_factor(_INITIALIZE_DOMAIN[name])
     s1, s2 = boundaries2d.make_samplers(name, info, sf)
     return Scene2D(
         name=name,

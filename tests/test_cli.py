@@ -29,3 +29,31 @@ def test_overrides_parse():
     assert (a.init_cond, a.dt, a.last_time) == ("leapfrog", 0.025, 40.0)
     assert a.start_frame == 7 and a.max_epoch == 300
     assert a.no_viz and a.seed == 1
+
+
+def test_checkpoint_npz_fallback_loads_with_torch_present(tmp_path):
+    """A checkpoint written by a torch-less environment (.npz sidecar) must
+    load in a torch-equipped one (io/checkpoint.py probes what exists)."""
+    import numpy as np
+
+    from gaussian_fluids_tpu import FieldSpec, GaussianMixture
+    from gaussian_fluids_tpu.io import checkpoint
+
+    spec = FieldSpec.create((-1, -1), (1, 1), 8, d=2, vdim=2)
+    rng = np.random.RandomState(0)
+    mix = GaussianMixture.create(rng.uniform(-1, 1, (8, 2)), spec,
+                                 pad=False)
+    params = mix.to_param_dict()
+    path = str(tmp_path / "gaussian_velocity_0.pt")
+    dr = []
+    for a, b in zip(spec.lo, spec.hi):
+        dr.extend([float(a), float(b)])
+    np.savez(path + ".npz", **params,
+             clamp_threshold=spec.clamp_threshold,
+             min_grid_scale=spec.min_grid_scale,
+             domain_range=np.asarray(dr))
+    m2, s2 = checkpoint.load_checkpoint(path)
+    assert s2.d == 2 and int(m2.n_alive()) == 8
+    np.testing.assert_allclose(
+        np.sort(np.asarray(m2.positions)[np.asarray(m2.alive)], axis=0),
+        np.sort(np.asarray(params["positions"]), axis=0), rtol=1e-6)
