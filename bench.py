@@ -51,7 +51,10 @@ def build_state():
     params = mix.params()
     params["values"] = jnp.asarray(
         0.1 * rng.randn(*params["values"].shape).astype(np.float32))
-    mix = mix.with_params(params)
+    # production layout: the solver keeps the mixture coordinate-sorted
+    # (simulate2d.py:92); meshgrid order cycles x every row and would time
+    # a layout whose tile mask culls nothing
+    mix = mix.with_params(params).spatially_sorted()
 
     run_chunk, _, _ = _runner_2d(spec, "leapfrog", ProjectWeights(),
                               1.0, BATCH)

@@ -40,11 +40,15 @@ class MeshSampler:
                     elif line.startswith("vn "):
                         normals.append([float(t) for t in line.split()[1:4]])
                     elif line.startswith("f "):
-                        toks = line.split()[1:4]
-                        faces.append(
-                            [int(t.split("/")[0]) - 1 for t in toks])
-                        facenormals.append(
-                            [int(t.split("/")[-1]) - 1 for t in toks])
+                        toks = line.split()[1:]
+                        vs = [int(t.split("/")[0]) - 1 for t in toks]
+                        ns = [int(t.split("/")[-1]) - 1 for t in toks]
+                        # fan-triangulate quads/n-gons (matches the C++
+                        # parser; a quad would otherwise silently lose its
+                        # second triangle)
+                        for t in range(2, len(vs)):
+                            faces.append([vs[0], vs[t - 1], vs[t]])
+                            facenormals.append([ns[0], ns[t - 1], ns[t]])
             self.faces = np.asarray(faces, np.int32)
             self.facenormals = np.asarray(facenormals, np.int32)
         v = np.asarray(vertices, np.float32)

@@ -36,6 +36,8 @@ def pad_chunks(x, d: int, b: int, chunk: int = 0):
     small there."""
     import jax
     import jax.numpy as jnp
+    if b == 0:
+        raise ValueError("pad_chunks: empty point set (b=0)")
     if chunk == 0:
         chunk = 32768 if jax.default_backend() in ("tpu", "axon") else 4096
     chunk = min(chunk, b)

@@ -28,8 +28,11 @@ def load():
             return _lib
         _tried = True
         try:
+            # a prebuilt .so without the source alongside is fine — only
+            # rebuild when the source exists AND is newer
             if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                    or (os.path.exists(_SRC)
+                        and os.path.getmtime(_SO) < os.path.getmtime(_SRC))):
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
                     check=True, capture_output=True)
@@ -79,26 +82,38 @@ def vti_write_f32(path: str, data: np.ndarray, origin, spacing,
     return rc == 0
 
 
+_parse_lock = threading.Lock()
+
+
 def parse_obj(path: str):
     """Returns (vertices (V,3) f32, normals (Nn,3) f32, faces (F,3) i32,
-    facenormals (F,3) i32) or None on fallback."""
+    facenormals (F,3) i32) or None on fallback.
+
+    The C side stages the parse in a process-global between the count and
+    fill calls, so the open+fill pair is serialized here; a failed fill
+    (e.g. a mismatched call sequence) falls back to the Python parser
+    instead of returning uninitialized arrays."""
     lib = load()
     if lib is None:
         return None
-    nv = ctypes.c_int64()
-    nn = ctypes.c_int64()
-    nf = ctypes.c_int64()
-    if lib.parse_obj_open(path.encode(), ctypes.byref(nv), ctypes.byref(nn),
-                          ctypes.byref(nf)) != 0:
-        return None
-    v = np.empty((nv.value, 3), np.float32)
-    n = np.empty((nn.value, 3), np.float32)
-    f = np.empty((nf.value, 3), np.int32)
-    fn = np.empty((nf.value, 3), np.int32)
-    lib.parse_obj_fill(v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                       n.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                       f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                       fn.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    with _parse_lock:
+        nv = ctypes.c_int64()
+        nn = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        if lib.parse_obj_open(path.encode(), ctypes.byref(nv),
+                              ctypes.byref(nn), ctypes.byref(nf)) != 0:
+            return None
+        v = np.empty((nv.value, 3), np.float32)
+        n = np.empty((nn.value, 3), np.float32)
+        f = np.empty((nf.value, 3), np.int32)
+        fn = np.empty((nf.value, 3), np.int32)
+        rc = lib.parse_obj_fill(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fn.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc != 0:
+            return None
     return v, n, f, fn
 
 

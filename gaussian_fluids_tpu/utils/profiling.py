@@ -54,12 +54,20 @@ class StepTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str, sync=None):
+        """``sync`` must be a ZERO-ARG CALLABLE returning the tree to wait
+        on, evaluated at block exit — passing an array directly would
+        capture it at entry and sync values that were already concrete,
+        recording only async dispatch time:
+
+            with timer.phase('project', sync=lambda: carry):
+                carry = run_chunk(carry, ...)
+        """
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if sync is not None:
-                hard_sync(sync)
+                hard_sync(sync() if callable(sync) else sync)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

@@ -35,10 +35,14 @@ int vti_write_f32(const char* path, const float* data,
                   int32_t nx, int32_t ny, int32_t nz,
                   const double* origin, const double* spacing,
                   const char* name) {
+  const uint64_t n = (uint64_t)nx * ny * nz;
+  // the inline header is UInt32; volumes at or beyond 2^32 payload bytes
+  // would silently wrap the byte count — refuse (caller falls back)
+  if (n * sizeof(float) > 0xFFFFFFFFull) return -1;
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
-  const uint64_t n = (uint64_t)nx * ny * nz;
   const uint32_t nbytes = (uint32_t)(n * sizeof(float));
+  bool ok = true;
   std::string head;
   char buf[512];
   std::snprintf(buf, sizeof(buf),
@@ -63,22 +67,25 @@ int vti_write_f32(const char* path, const float* data,
                 "  <AppendedData encoding=\"raw\">\n_",
                 name);
   head += buf;
-  std::fwrite(head.data(), 1, head.size(), f);
-  std::fwrite(&nbytes, sizeof(nbytes), 1, f);
+  ok &= std::fwrite(head.data(), 1, head.size(), f) == head.size();
+  ok &= std::fwrite(&nbytes, sizeof(nbytes), 1, f) == 1;
   // data arrives C-ordered (x, y, z); VTK wants x fastest => transpose.
   // Stream in z-major order without materialising a transposed copy.
   std::vector<float> slab((size_t)nx);
-  for (int64_t k = 0; k < nz; ++k) {
-    for (int64_t j = 0; j < ny; ++j) {
+  for (int64_t k = 0; k < nz && ok; ++k) {
+    for (int64_t j = 0; j < ny && ok; ++j) {
       for (int64_t i = 0; i < nx; ++i) {
         slab[(size_t)i] = data[(i * ny + j) * nz + k];
       }
-      std::fwrite(slab.data(), sizeof(float), (size_t)nx, f);
+      ok &= std::fwrite(slab.data(), sizeof(float), (size_t)nx, f)
+            == (size_t)nx;
     }
   }
-  std::fputs("\n  </AppendedData>\n</VTKFile>\n", f);
-  std::fclose(f);
-  return 0;
+  ok &= std::fputs("\n  </AppendedData>\n</VTKFile>\n", f) >= 0;
+  ok &= std::fclose(f) == 0;
+  // a partial write (e.g. disk full) must not report success — the caller
+  // retries with the Python writer or surfaces the error
+  return ok ? 0 : -2;
 }
 
 // ---------------------------------------------------------------------
@@ -115,34 +122,38 @@ int parse_obj_open(const char* path, int64_t* n_v, int64_t* n_vn,
         g_obj->vn.push_back(z);
       }
     } else if (line[0] == 'f' && line[1] == ' ') {
-      int32_t vi[3] = {0, 0, 0}, ni[3] = {0, 0, 0};
+      // parse the whole polygon, then fan-triangulate (quads/n-gons
+      // would otherwise silently lose every triangle past the first)
+      const int kMaxPoly = 64;
+      int32_t vi[kMaxPoly], ni[kMaxPoly];
       int got = 0;
       char* p = line + 2;
-      for (int t = 0; t < 3; ++t) {
+      while (got < kMaxPoly) {
         while (*p == ' ') ++p;
-        if (!*p || *p == '\n') break;
-        vi[t] = (int32_t)std::strtol(p, &p, 10);
-        ni[t] = vi[t];
+        if (!*p || *p == '\n' || *p == '\r') break;
+        vi[got] = (int32_t)std::strtol(p, &p, 10);
+        ni[got] = vi[got];
         if (*p == '/') {
           ++p;
           if (*p == '/') {
             ++p;
-            ni[t] = (int32_t)std::strtol(p, &p, 10);
+            ni[got] = (int32_t)std::strtol(p, &p, 10);
           } else {
             std::strtol(p, &p, 10);  // texture index, ignored
             if (*p == '/') {
               ++p;
-              ni[t] = (int32_t)std::strtol(p, &p, 10);
+              ni[got] = (int32_t)std::strtol(p, &p, 10);
             }
           }
         }
         ++got;
         while (*p && *p != ' ' && *p != '\n') ++p;
       }
-      if (got == 3) {
-        for (int t = 0; t < 3; ++t) {
-          g_obj->f.push_back(vi[t] - 1);
-          g_obj->fn.push_back(ni[t] - 1);
+      for (int t = 2; t < got; ++t) {  // fan: (0, t-1, t)
+        const int idx[3] = {0, t - 1, t};
+        for (int c = 0; c < 3; ++c) {
+          g_obj->f.push_back(vi[idx[c]] - 1);
+          g_obj->fn.push_back(ni[idx[c]] - 1);
         }
       }
     }

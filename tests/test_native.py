@@ -42,3 +42,28 @@ def test_blue_noise_spreads_points():
     d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
     np.fill_diagonal(d2, np.inf)
     assert np.sqrt(d2.min()) > 0.03
+
+
+def test_obj_quad_faces_fan_triangulated(tmp_path):
+    """Quads must become two triangles in BOTH parsers (C++ and Python) —
+    previously the second triangle was silently dropped."""
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vn 0 0 1\n"
+        "f 1//1 2//1 3//1 4//1\n")
+    from gaussian_fluids_tpu.scenes.mesh import MeshSampler
+    import numpy as np
+
+    # native path (if the toolchain is available) or Python fallback —
+    # both go through MeshSampler
+    ms = MeshSampler(str(obj), 1.0, np.eye(3, dtype=np.float32),
+                     np.zeros(3, dtype=np.float32))
+    assert ms.faces.shape == (2, 3)
+    # total area of the unit quad
+    np.testing.assert_allclose(float(ms.area_presum[-1]), 1.0, rtol=1e-6)
+
+    from gaussian_fluids_tpu.utils import native
+    if native.load() is not None:
+        parsed = native.parse_obj(str(obj))
+        assert parsed is not None and parsed[2].shape == (2, 3)
