@@ -11,4 +11,4 @@ if __name__ == "__main__":
     advance_3d(args.init_cond, args.dir, args.dt, args.last_time,
                start_frame=args.start_frame, max_epoch=args.max_epoch,
                boundary_lambda=args.boundary, seed=args.seed,
-               viz=not args.no_viz)
+               viz=not args.no_viz, target_grid_res=args.target_grid)

@@ -253,16 +253,22 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
 @functools.lru_cache(maxsize=None)
 def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
                w: ProjectWeights, boundary_lambda: float, batch_size: int,
-               lo: tuple, hi: tuple):
+               lo: tuple, hi: tuple,
+               target_grid: Optional[tuple] = None):
     bs_freeslip = None
     if scene_name is not None:
         from gaussian_fluids_tpu.scenes import get_scene_3d
         bs_freeslip = get_scene_3d(scene_name).boundary_sampler
     lo_j = jnp.asarray(lo, jnp.float32)
     hi_j = jnp.asarray(hi, jnp.float32)
+    domain6 = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
 
     def epoch(carry, key):
-        (params, opt_state, alive, old_params, old_alive, dt) = carry
+        if target_grid is not None:
+            (params, opt_state, alive, old_params, old_alive, dt,
+             tgt) = carry
+        else:
+            (params, opt_state, alive, old_params, old_alive, dt) = carry
         old_mix = _mix(old_params, old_alive)
         kd, kb = jax.random.split(key)
         data = _uniform_batch(kd, batch_size, lo_j, hi_j)
@@ -270,10 +276,24 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
                                     params["positions"].shape[0])
         if sorting:
             data = data[jnp.argsort(data[:, 0])]   # sort once per epoch
-        ref_vor, ref_hel = covector.advected_vorticity_3d(
-            old_mix, spec, data, dt, presorted=True)
-        ref_vor = jax.lax.stop_gradient(ref_vor)
-        ref_hel = jax.lax.stop_gradient(ref_hel)
+        if target_grid is not None:
+            # cached-target mode: the exact covector targets were
+            # precomputed once on a regular grid (the old field is frozen
+            # for the whole projection), so each epoch interpolates
+            # instead of re-running the 5 val+jac RK4 evals — the
+            # dominant slice of the exact epoch. Opt-in deviation from
+            # the reference; fidelity measured in BASELINE.md.
+            from gaussian_fluids_tpu.ops.interp import trilinear_interp
+            ref = jax.vmap(
+                lambda f: trilinear_interp(f, data, domain6),
+                in_axes=-1, out_axes=-1)(tgt)
+            ref_vor = jax.lax.stop_gradient(ref[:, :3])
+            ref_hel = jax.lax.stop_gradient(ref[:, 3])
+        else:
+            ref_vor, ref_hel = covector.advected_vorticity_3d(
+                old_mix, spec, data, dt, presorted=True)
+            ref_vor = jax.lax.stop_gradient(ref_vor)
+            ref_hel = jax.lax.stop_gradient(ref_hel)
 
         # helicity accumulates into the vorticity PCGrad bucket
         # (reference 3D/GSR.py:508-520)
@@ -310,7 +330,11 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         grads = {k: g_rest[k] + g_data[k] for k in params}
         loss_tot = l_vorhel + l_div + l_rest
         params, opt_state = optim.step(opt_state, params, grads, loss_tot)
-        carry = (params, opt_state, alive, old_params, old_alive, dt)
+        if target_grid is not None:
+            carry = (params, opt_state, alive, old_params, old_alive, dt,
+                     tgt)
+        else:
+            carry = (params, opt_state, alive, old_params, old_alive, dt)
         return carry, jnp.stack([l_vorhel, l_div, bc])
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -320,6 +344,28 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
 
     def _pad_chunks(test_x, b):
         return pad_chunks(test_x, 3, b)
+
+    @jax.jit
+    def target_grid_fn(old_params, old_alive, dt):
+        """Exact covector targets on the static target grid, as one
+        (nx, ny, nz, 4) array [vor_x, vor_y, vor_z, hel] — computed once
+        per projection (the old field never changes within one)."""
+        nx, ny, nz = target_grid
+        old_mix = _mix(old_params, old_alive)
+        xs = jnp.linspace(lo[0], hi[0], nx, dtype=jnp.float32)
+        ys = jnp.linspace(lo[1], hi[1], ny, dtype=jnp.float32)
+        zs = jnp.linspace(lo[2], hi[2], nz, dtype=jnp.float32)
+        gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+        pts = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)  # x-major: sorted
+        xc, _ = pad_chunks(pts, 3, nx * ny * nz)
+
+        def one(c):
+            vor, hel = covector.advected_vorticity_3d(old_mix, spec, c, dt,
+                                                      presorted=True)
+            return jnp.concatenate([vor, hel[:, None]], -1)
+
+        out = jax.lax.map(one, xc).reshape(-1, 4)
+        return out[:nx * ny * nz].reshape(nx, ny, nz, 4)
 
     @jax.jit
     def test_ref_fn(old_params, old_alive, test_x, dt):
@@ -351,7 +397,7 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         return (out[:, 0].sum() / b, out[:, 1].sum() / b,
                 out[:, 2].sum() / b, out[:, 3].max())
 
-    return run_chunk, test_ref_fn, test_fn
+    return run_chunk, test_ref_fn, test_fn, target_grid_fn
 
 
 def project_3d(mix: GaussianMixture, spec: FieldSpec,
@@ -362,19 +408,27 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
                lrs: Optional[Dict[str, float]] = None,
                batch_size: int = 8192, max_epoch: int = 3000,
                patience: int = 500, check_iter: int = 100,
-               verbose: int = 1, collect_curves: bool = False):
+               verbose: int = 1, collect_curves: bool = False,
+               target_grid_res: int = 0):
     """3D projection (reference 3D/advance.py:182-331). With
     ``collect_curves`` also returns the per-epoch train losses, log-lr and
     test-loss curves for the reference's loss_{frame}.png plots
-    (3D/advance.py:273-331)."""
+    (3D/advance.py:273-331).
+
+    ``target_grid_res`` > 0 enables the cached-covector-target mode: the
+    exact RK4 targets are evaluated once on a res^3 grid and trilinearly
+    interpolated per epoch (opt-in speed/accuracy trade; test metrics are
+    always computed against the exact targets)."""
     if lrs is None:
         # reference 3D/advance.py:258-261
         lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
                "values": 1e-5}
     x_min, x_max, y_min, y_max, z_min, z_max = domain
-    run_chunk, test_ref_fn, test_fn = _runner_3d(
+    tg = (int(target_grid_res),) * 3 if target_grid_res else None
+    runner = _runner_3d(
         spec, scene_name, weights, float(boundary_lambda), batch_size,
-        (x_min, y_min, z_min), (x_max, y_max, z_max))
+        (x_min, y_min, z_min), (x_max, y_max, z_max), tg)
+    run_chunk, test_ref_fn, test_fn = runner[:3]
 
     test_x = jnp.asarray(test_x)
     test_x = test_x[jnp.argsort(test_x[:, 0])]   # presorted test chunks
@@ -383,6 +437,8 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
     dt_j = jnp.asarray(dt, jnp.float32)
     carry = (params, opt_state, mix.alive, old_mix.params(), old_mix.alive,
              dt_j)
+    if tg is not None:
+        carry = carry + (runner[3](old_mix.params(), old_mix.alive, dt_j),)
 
     test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, dt_j)
 

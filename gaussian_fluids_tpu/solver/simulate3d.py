@@ -131,7 +131,8 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
                start_frame: int = 0, max_epoch: int = 20000,
                batch_size: int = 8192, boundary_lambda: float = 10.0,
                seed: int = 42, viz: bool = True, viz_res=None,
-               test_res: Optional[tuple] = None, verbose: int = 1):
+               test_res: Optional[tuple] = None, verbose: int = 1,
+               target_grid_res: int = 0):
     """Frame loop (reference 3D/advance.py:334-393)."""
     scene = get_scene_3d(init_cond)
     domain = scene.domain
@@ -162,7 +163,8 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
             weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
                                    delta_pos=0.0, hel=1.0, val_reg=0.0),
             boundary_lambda=boundary_lambda, batch_size=batch_size,
-            max_epoch=max_epoch, verbose=verbose, collect_curves=viz)
+            max_epoch=max_epoch, verbose=verbose, collect_curves=viz,
+            target_grid_res=target_grid_res)
         if viz:
             new_mix, curves = res
             _plot_loss_curves(curves, os.path.join(out_dir,

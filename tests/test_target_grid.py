@@ -1,0 +1,65 @@
+"""Cached covector-target mode for the 3D projection (opt-in
+``target_grid_res``): the exact RK4 targets are evaluated once on a grid
+and interpolated per epoch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.solver import covector
+from gaussian_fluids_tpu.solver.project import (ProjectWeights, _runner_3d,
+                                                project_3d)
+
+DOMAIN = (-2.0, 2.0, -2.0, 2.0, -2.0, 2.0)
+
+
+def _smooth_mix(n_side=3):
+    xs = np.linspace(-1.2, 1.2, n_side, dtype=np.float32)
+    pos = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
+    spec = FieldSpec.create((-2.0,) * 3, (2.0,) * 3, pos.shape[0], d=3,
+                            vdim=3)
+    mix = GaussianMixture.create(pos, spec)
+    p = mix.params()
+    rng = np.random.RandomState(0)
+    # wide, smooth Gaussians (scaling = -log scale; 0 -> unit scale)
+    p["scalings"] = jnp.zeros_like(p["scalings"])
+    p["values"] = jnp.asarray(
+        0.3 * rng.randn(*p["values"].shape).astype(np.float32))
+    return mix.with_params(p), spec
+
+
+def test_interpolated_targets_match_exact():
+    mix, spec = _smooth_mix()
+    dt = jnp.asarray(0.01, jnp.float32)
+    runner = _runner_3d(spec, None, ProjectWeights(), 0.0, 64,
+                        (-2.0,) * 3, (2.0,) * 3, (48, 48, 48))
+    tgt = runner[3](mix.params(), mix.alive, dt)
+    assert tgt.shape == (48, 48, 48, 4)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.uniform(-1.9, 1.9, (128, 3)).astype(np.float32))
+    ev, eh = covector.advected_vorticity_3d(mix, spec, x, dt)
+    from gaussian_fluids_tpu.ops.interp import trilinear_interp
+    ref = jax.vmap(lambda f: trilinear_interp(f, x, DOMAIN),
+                   in_axes=-1, out_axes=-1)(tgt)
+    scale = float(jnp.abs(ev).max())
+    np.testing.assert_allclose(np.asarray(ref[:, :3]), np.asarray(ev),
+                               atol=0.02 * scale)
+    np.testing.assert_allclose(np.asarray(ref[:, 3]), np.asarray(eh),
+                               atol=0.02 * max(scale, float(
+                                   jnp.abs(eh).max())))
+
+
+def test_project3d_cached_target_runs_and_converges():
+    mix, spec = _smooth_mix()
+    xs = np.linspace(-1.9, 1.9, 6, dtype=np.float32)
+    test_x = jnp.asarray(
+        np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3))
+    out = project_3d(mix, spec, mix, 0.01, domain=DOMAIN, test_x=test_x,
+                     key=jax.random.PRNGKey(0), batch_size=128,
+                     max_epoch=100, check_iter=50, verbose=0,
+                     target_grid_res=16)
+    assert isinstance(out, GaussianMixture)
+    assert np.isfinite(np.asarray(out.params()["values"])).all()
