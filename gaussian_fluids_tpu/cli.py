@@ -28,11 +28,11 @@ def _common(parser: argparse.ArgumentParser, dim: int):
                             help="density grid = visualize_res * this "
                                  "(reference 3D/advance_density.py:3-7 "
                                  "uses 4 -> 512^3)")
-        parser.add_argument("--target_grid", type=int, default=0,
-                            help="cached covector-target grid resolution "
-                                 "(0 = exact per-epoch RK4 targets, the "
-                                 "reference behavior; >0 trades target "
-                                 "accuracy for a much cheaper epoch)")
+    parser.add_argument("--target_grid", type=int, default=0,
+                        help="cached covector-target grid resolution "
+                             "(0 = exact per-epoch RK4 targets, the "
+                             "reference behavior; >0 trades target "
+                             "accuracy for a much cheaper epoch)")
     parser.add_argument("--max_epoch", type=int, default=None,
                         help="override the per-phase epoch budget")
     parser.add_argument("--no_viz", action="store_true")

@@ -45,6 +45,33 @@ def trilinear_interp(field: jnp.ndarray, positions: jnp.ndarray,
             + g(x1, y1, z1) * wx * wy * wz)
 
 
+def bilinear_interp(field: jnp.ndarray, positions: jnp.ndarray,
+                    domain) -> jnp.ndarray:
+    """2D analog of :func:`trilinear_interp`. field: (nx, ny);
+    positions: (..., 2) -> (...). ``domain`` is (x_min, x_max, y_min,
+    y_max) and may hold traced scalars (the karman advance domain moves
+    per frame)."""
+    x_min, x_max, y_min, y_max = domain
+    nx, ny = field.shape
+    lo = jnp.stack([jnp.asarray(x_min, jnp.float32),
+                    jnp.asarray(y_min, jnp.float32)])
+    dxy = jnp.stack([(x_max - x_min) / (nx - 1),
+                     (y_max - y_min) / (ny - 1)]).astype(jnp.float32)
+    p = (positions - lo) / dxy
+    i0 = jnp.floor(p).astype(jnp.int32)
+    w = p - i0.astype(jnp.float32)
+    hi = jnp.asarray([nx - 1, ny - 1], jnp.int32)
+    i0 = jnp.clip(i0, 0, hi)
+    i1 = jnp.minimum(i0 + 1, hi)
+    wx, wy = w[..., 0], w[..., 1]
+    x0, y0 = i0[..., 0], i0[..., 1]
+    x1, y1 = i1[..., 0], i1[..., 1]
+    return (field[x0, y0] * (1 - wx) * (1 - wy)
+            + field[x1, y0] * wx * (1 - wy)
+            + field[x0, y1] * (1 - wx) * wy
+            + field[x1, y1] * wx * wy)
+
+
 @functools.lru_cache(maxsize=None)
 def _ring_builder(shape, domain):
     """Cached jitted ring seeder for a (shape, domain): center/normal/

@@ -69,15 +69,20 @@ _mix = mixture_of
 
 @functools.lru_cache(maxsize=None)
 def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
-               boundary_lambda: float, batch_size: int):
+               boundary_lambda: float, batch_size: int,
+               target_grid: Optional[tuple] = None):
     from gaussian_fluids_tpu.scenes import get_scene_2d
     scene = get_scene_2d(scene_name)
     bs1, bs2 = scene.boundary_sampler_1, scene.boundary_sampler_2
     sf = scene.scaling_factor
 
     def epoch(carry, key):
-        (params, opt_state, alive, positions_org, old_params, old_alive,
-         adv, dt) = carry
+        if target_grid is not None:
+            (params, opt_state, alive, positions_org, old_params,
+             old_alive, adv, dt, tgt) = carry
+        else:
+            (params, opt_state, alive, positions_org, old_params,
+             old_alive, adv, dt) = carry
         old_mix = _mix(old_params, old_alive)
         kd, kb1, kb2 = jax.random.split(key, 3)
         lo = jnp.stack([adv[0], adv[2]]) * sf
@@ -91,8 +96,17 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
                                     params["positions"].shape[0])
         if sorting:
             data = data[jnp.argsort(data[:, 0])]
-        ref_vor = jax.lax.stop_gradient(covector.advected_vorticity_2d(
-            old_mix, spec, data, dt, lo, hi, presorted=True))
+        if target_grid is not None:
+            # cached-target mode (see _runner_3d): the exact covector
+            # targets were precomputed once on a grid over the (runtime)
+            # advance domain; interpolate instead of re-running the RK4
+            # backtrace chain. Opt-in; fidelity measured in BASELINE.md.
+            from gaussian_fluids_tpu.ops.interp import bilinear_interp
+            ref_vor = jax.lax.stop_gradient(bilinear_interp(
+                tgt, data, (lo[0], hi[0], lo[1], hi[1])))
+        else:
+            ref_vor = jax.lax.stop_gradient(covector.advected_vorticity_2d(
+                old_mix, spec, data, dt, lo, hi, presorted=True))
 
         def head_vor(val, jac):
             return w.vor * losses.vorticity_loss_2d(jac, ref_vor)
@@ -142,6 +156,8 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         params, opt_state = optim.step(opt_state, params, grads, loss_tot)
         carry = (params, opt_state, alive, positions_org, old_params,
                  old_alive, adv, dt)
+        if target_grid is not None:
+            carry = carry + (tgt,)
         return carry, jnp.stack([l_vor, l_div, bc])
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -151,6 +167,24 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
 
     def _pad_chunks(test_x, b):
         return pad_chunks(test_x, 2, b)
+
+    @jax.jit
+    def target_grid_fn(old_params, old_alive, adv, dt):
+        """Exact covector targets on an (nx, ny) grid spanning the
+        (runtime) advance domain — computed once per projection (the old
+        field is frozen within one)."""
+        nx, ny = target_grid
+        old_mix = _mix(old_params, old_alive)
+        lo = jnp.stack([adv[0], adv[2]]) * sf
+        hi = jnp.stack([adv[1], adv[3]]) * sf
+        ux = jnp.linspace(0.0, 1.0, nx, dtype=jnp.float32)
+        uy = jnp.linspace(0.0, 1.0, ny, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(ux, uy, indexing="ij")
+        pts = lo + jnp.stack([gx, gy], -1).reshape(-1, 2) * (hi - lo)
+        # x-major flatten -> nondecreasing x -> presorted
+        vor = covector.advected_vorticity_2d(old_mix, spec, pts, dt,
+                                             lo, hi, presorted=True)
+        return vor.reshape(nx, ny)
 
     @jax.jit
     def test_ref_fn(old_params, old_alive, test_x, adv, dt):
@@ -180,7 +214,7 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         out = jax.lax.map(one, (xcs, ref_vor, valid))
         return out[:, 0].sum() / b, out[:, 1].sum() / b, out[:, 2].max()
 
-    return run_chunk, test_ref_fn, test_fn
+    return run_chunk, test_ref_fn, test_fn, target_grid_fn
 
 
 def project_2d(mix: GaussianMixture, spec: FieldSpec,
@@ -191,14 +225,22 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
                lrs: Optional[Dict[str, float]] = None,
                batch_size: int = 512, max_epoch: int = 3000,
                patience: int = 500, check_iter: int = 100,
-               verbose: int = 1) -> GaussianMixture:
-    """2D projection (reference 2D/advance.py:187-302)."""
+               verbose: int = 1,
+               target_grid_res: int = 0) -> GaussianMixture:
+    """2D projection (reference 2D/advance.py:187-302).
+
+    ``target_grid_res`` > 0 enables the cached-covector-target mode: the
+    exact RK4 targets are evaluated once on a res^2 grid over the advance
+    domain and bilinearly interpolated per epoch (opt-in speed/accuracy
+    trade; test metrics are always computed against the exact targets)."""
     if lrs is None:
         # reference 2D/advance.py:261
         lrs = {"positions": 1e-4, "scalings": 1e-4, "rotations": 1e-4,
                "values": 1e-4}
-    run_chunk, test_ref_fn, test_fn = _runner_2d(
-        spec, scene.name, weights, float(boundary_lambda), batch_size)
+    tg = (int(target_grid_res),) * 2 if target_grid_res else None
+    runner = _runner_2d(
+        spec, scene.name, weights, float(boundary_lambda), batch_size, tg)
+    run_chunk, test_ref_fn, test_fn = runner[:3]
 
     test_x = jnp.asarray(test_x)
     test_x = test_x[jnp.argsort(test_x[:, 0])]   # presorted test chunks
@@ -209,6 +251,9 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
     carry = (params, opt_state, mix.alive,
              jax.lax.stop_gradient(mix.positions), old_mix.params(),
              old_mix.alive, adv, dt_j)
+    if tg is not None:
+        carry = carry + (runner[3](old_mix.params(), old_mix.alive, adv,
+                                   dt_j),)
 
     test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, adv,
                            dt_j)

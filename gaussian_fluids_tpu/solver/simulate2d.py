@@ -162,7 +162,8 @@ def _init_karman(mix, spec, scene, key, max_epoch, batch_size, verbose):
 def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
                start_frame: int = 0, max_epoch: int = 20000,
                batch_size: int = 512, seed: int = 42, viz: bool = True,
-               verbose: int = 1, test_res: Optional[tuple] = None):
+               verbose: int = 1, test_res: Optional[tuple] = None,
+               target_grid_res: int = 0):
     """Frame loop (reference 2D/advance.py:304-365)."""
     scene = get_scene_2d(init_cond)
     sf = scene.scaling_factor
@@ -196,7 +197,7 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
             weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
                                    delta_pos=0.5),
             boundary_lambda=1.0, batch_size=batch_size, max_epoch=max_epoch,
-            verbose=verbose)
+            verbose=verbose, target_grid_res=target_grid_res)
         mix = new_mix
         if viz:
             _viz_frame(out_dir, str(cnt), mix, spec, scene)

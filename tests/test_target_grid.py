@@ -1,4 +1,4 @@
-"""Cached covector-target mode for the 3D projection (opt-in
+"""Cached covector-target mode for the projections (opt-in
 ``target_grid_res``): the exact RK4 targets are evaluated once on a grid
 and interpolated per epoch."""
 
@@ -9,7 +9,8 @@ import numpy as np
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 from gaussian_fluids_tpu.solver import covector
-from gaussian_fluids_tpu.solver.project import (ProjectWeights, _runner_3d,
+from gaussian_fluids_tpu.solver.project import (ProjectWeights, _runner_2d,
+                                                _runner_3d, project_2d,
                                                 project_3d)
 
 DOMAIN = (-2.0, 2.0, -2.0, 2.0, -2.0, 2.0)
@@ -50,6 +51,69 @@ def test_interpolated_targets_match_exact():
     np.testing.assert_allclose(np.asarray(ref[:, 3]), np.asarray(eh),
                                atol=0.02 * max(scale, float(
                                    jnp.abs(eh).max())))
+
+
+def _smooth_mix_2d(scene, n_side=5):
+    """Smooth mixture spanning the taylor_green scaled domain."""
+    sf = scene.scaling_factor
+    dom = scene.advance_domain
+    lo = np.asarray([dom[0], dom[2]]) * sf
+    hi = np.asarray([dom[1], dom[3]]) * sf
+    xs = np.linspace(lo[0], hi[0], n_side, dtype=np.float32)
+    ys = np.linspace(lo[1], hi[1], n_side, dtype=np.float32)
+    pos = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    spec = FieldSpec.create(tuple(lo), tuple(hi), pos.shape[0], d=2, vdim=2)
+    mix = GaussianMixture.create(pos, spec)
+    p = mix.params()
+    rng = np.random.RandomState(3)
+    p["values"] = jnp.asarray(
+        0.3 * rng.randn(*p["values"].shape).astype(np.float32))
+    return mix.with_params(p), spec
+
+
+def test_interpolated_targets_match_exact_2d():
+    from gaussian_fluids_tpu.ops.interp import bilinear_interp
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    scene = get_scene_2d("taylor_green")
+    sf = scene.scaling_factor
+    mix, spec = _smooth_mix_2d(scene)
+    dt = jnp.asarray(0.001, jnp.float32)
+    adv = jnp.asarray(scene.advance_domain_at(0, 0.001), jnp.float32)
+    runner = _runner_2d(spec, "taylor_green", ProjectWeights(), 0.0, 64,
+                        (96, 96))
+    tgt = runner[3](mix.params(), mix.alive, adv, dt)
+    assert tgt.shape == (96, 96)
+
+    lo = np.asarray([adv[0], adv[2]], np.float32) * sf
+    hi = np.asarray([adv[1], adv[3]], np.float32) * sf
+    rng = np.random.RandomState(4)
+    margin = 0.05 * (hi - lo)
+    x = jnp.asarray(rng.uniform(lo + margin, hi - margin,
+                                (128, 2)).astype(np.float32))
+    exact = covector.advected_vorticity_2d(mix, spec, x, dt,
+                                           jnp.asarray(lo), jnp.asarray(hi))
+    interp = bilinear_interp(tgt, x, (lo[0], hi[0], lo[1], hi[1]))
+    scale = float(jnp.abs(exact).max())
+    np.testing.assert_allclose(np.asarray(interp), np.asarray(exact),
+                               atol=0.02 * scale)
+
+
+def test_project2d_cached_target_runs():
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    scene = get_scene_2d("taylor_green")
+    mix, spec = _smooth_mix_2d(scene)
+    adv = scene.advance_domain_at(0, 0.001)
+    sf = scene.scaling_factor
+    xs = np.linspace(adv[0] * sf, adv[1] * sf, 8, dtype=np.float32)
+    ys = np.linspace(adv[2] * sf, adv[3] * sf, 8, dtype=np.float32)
+    test_x = jnp.asarray(
+        np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2))
+    out = project_2d(mix, spec, mix, 0.001, scene=scene, adv_domain=adv,
+                     test_x=test_x, key=jax.random.PRNGKey(0),
+                     batch_size=64, max_epoch=100, check_iter=50,
+                     verbose=0, target_grid_res=32)
+    assert isinstance(out, GaussianMixture)
+    assert np.isfinite(np.asarray(out.params()["values"])).all()
 
 
 def test_project3d_cached_target_runs_and_converges():
