@@ -171,10 +171,32 @@ _mixf = mixture_of
 
 
 @functools.lru_cache(maxsize=None)
-def _clone_runner(spec: FieldSpec, batch_size: int):
+def _clone_runner(spec: FieldSpec, batch_size: int,
+                  target_grid: Optional[tuple] = None):
     """Cached jitted (chunk-runner, test-metrics) pair; the old field's
-    parameters flow in as runtime data so frames don't recompile."""
+    parameters flow in as runtime data so frames don't recompile.
+
+    ``target_grid`` enables the cached-target mode (same idea as the
+    projection's, solver/project.py): the old field is frozen for the
+    whole re-fit, so its (val, jac) targets are evaluated once on a grid
+    and interpolated per epoch instead of re-evaluated."""
     d = spec.d
+    nch = spec.vdim + spec.vdim * d   # [val, jac] channels
+
+    def _interp(tgt, x, lo, hi):
+        from gaussian_fluids_tpu.ops.interp import (bilinear_interp,
+                                                    trilinear_interp)
+        if d == 2:
+            dom = (lo[0], hi[0], lo[1], hi[1])
+            f = bilinear_interp
+        else:
+            dom = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
+            f = trilinear_interp
+        out = jax.vmap(lambda ch: f(ch, x, dom), in_axes=-1,
+                       out_axes=-1)(tgt)
+        ref_val = out[:, :spec.vdim]
+        ref_jac = out[:, spec.vdim:].reshape(x.shape[0], spec.vdim, d)
+        return ref_val, ref_jac
 
     def loss_fn(params, alive, stop, x, ref_val, ref_jac):
         frozen = losses.freeze_params(params, stop)
@@ -189,21 +211,32 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
         return total, jnp.stack([l_val, l_grad, l_aniso, l_vol])
 
     def epoch(carry, key):
-        params, opt_state, alive, stop, old_params, old_alive, lo, hi = carry
+        if target_grid is not None:
+            (params, opt_state, alive, stop, old_params, old_alive,
+             lo, hi, tgt) = carry
+        else:
+            (params, opt_state, alive, stop, old_params, old_alive,
+             lo, hi) = carry
         x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
             * (hi - lo) + lo
         if field._use_pallas(batch_size, params["positions"].shape[0]):
             x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
             # (dense backend ignores the hint — skip the pure-overhead sort)
-        ref_val, ref_jac = field.value_and_jac(
-            _mixf(old_params, old_alive), spec, x, presorted=True)
+        if target_grid is not None:
+            ref_val, ref_jac = _interp(tgt, x, lo, hi)
+        else:
+            ref_val, ref_jac = field.value_and_jac(
+                _mixf(old_params, old_alive), spec, x, presorted=True)
         ref_val = jax.lax.stop_gradient(ref_val)
         ref_jac = jax.lax.stop_gradient(ref_jac)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, alive, stop, x, ref_val, ref_jac)
         params, opt_state = optim.step(opt_state, params, grads, total)
-        return (params, opt_state, alive, stop, old_params, old_alive,
-                lo, hi), aux
+        out = (params, opt_state, alive, stop, old_params, old_alive,
+               lo, hi)
+        if target_grid is not None:
+            out = out + (tgt,)
+        return out, aux
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(carry, key, n):
@@ -212,6 +245,25 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
 
     def _pad_chunks(test_x, b):
         return pad_chunks(test_x, d, b)
+
+    @jax.jit
+    def target_grid_fn(old_params, old_alive, lo, hi):
+        """Old-field [val, jac] channels on a target_grid-shaped grid over
+        (lo, hi) — computed once per clone (the old field is frozen)."""
+        old_mix = _mixf(old_params, old_alive)
+        axes = [jnp.linspace(0.0, 1.0, r, dtype=jnp.float32)
+                for r in target_grid]
+        mesh = jnp.meshgrid(*axes, indexing="ij")
+        pts = lo + jnp.stack(mesh, -1).reshape(-1, d) * (hi - lo)
+        # axis-0-major flatten -> nondecreasing coordinate 0 -> presorted
+        pts_c, _ = pad_chunks(pts, d, pts.shape[0])
+
+        def one(c):
+            v, j = field.value_and_jac(old_mix, spec, c, presorted=True)
+            return jnp.concatenate([v, j.reshape(c.shape[0], -1)], -1)
+
+        out = jax.lax.map(one, pts_c).reshape(-1, nch)[: pts.shape[0]]
+        return out.reshape(target_grid + (nch,))
 
     @jax.jit
     def test_ref_fn(old_params, old_alive, test_x):
@@ -240,7 +292,7 @@ def _clone_runner(spec: FieldSpec, batch_size: int):
         out = jax.lax.map(one, (xcs, rv_all, rj_all, valid))
         return out[:, 0].sum() / b, out[:, 1].sum() / b
 
-    return run_chunk, test_ref_fn, test_fn
+    return run_chunk, test_ref_fn, test_fn, target_grid_fn
 
 
 def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
@@ -248,10 +300,16 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
                          lrs: Optional[Dict[str, float]] = None,
                          batch_size: int = 512, max_epoch: int = 3000,
                          patience: int = 500, check_iter: int = 100,
-                         verbose: int = 1) -> GaussianMixture:
+                         verbose: int = 1,
+                         target_grid_res: int = 0) -> GaussianMixture:
     """Full clone: split + freeze + re-fit to the old field (reference
     2D/advance.py:58-158). Returns the new mixture (possibly with more
-    Gaussians)."""
+    Gaussians).
+
+    ``target_grid_res`` > 0 enables the cached-target mode: the frozen old
+    field's [val, jac] targets are evaluated once on a res^d grid over
+    (lo, hi) and interpolated per epoch (opt-in speed/accuracy trade; test
+    metrics are always computed against the exact old field)."""
     rng = np.random.RandomState(seed)
     test_x_s = jnp.asarray(test_x)
     test_x_s = test_x_s[jnp.argsort(test_x_s[:, 0])]  # presorted test chunks
@@ -273,7 +331,9 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
     if verbose:
         print(f"[clone] Add {n_split} particles.")
 
-    run_chunk, test_ref_fn, test_fn = _clone_runner(spec, batch_size)
+    tg = (int(target_grid_res),) * d if target_grid_res else None
+    run_chunk, test_ref_fn, test_fn, target_grid_fn = _clone_runner(
+        spec, batch_size, tg)
 
     # the old field may live in a smaller padding bucket than the split
     # result; repad it to the same capacity so both flow through one jit
@@ -285,6 +345,9 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
     hi_j = jnp.asarray(hi, jnp.float32)
     carry = (params, opt_state, new_mix.alive, stop, old_padded.params(),
              old_padded.alive, lo_j, hi_j)
+    if tg is not None:
+        carry = carry + (target_grid_fn(old_padded.params(),
+                                        old_padded.alive, lo_j, hi_j),)
     test_ref = test_ref_fn(old_padded.params(), old_padded.alive, test_x_s)
 
     def metrics(c):

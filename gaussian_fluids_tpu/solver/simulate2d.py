@@ -188,7 +188,8 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
         adv_hi = (adv_domain[1] * sf, adv_domain[3] * sf)
         new_mix = clone_velocity_field(
             mix, spec, lo=adv_lo, hi=adv_hi, test_x=test_grid(adv_domain),
-            key=kc, seed=cnt, d=2, max_epoch=max_epoch, verbose=verbose)
+            key=kc, seed=cnt, d=2, max_epoch=max_epoch, verbose=verbose,
+            target_grid_res=target_grid_res)
         new_mix = advect_covector_field_2d(new_mix, spec, dt)
         adv_domain = scene.extra_advect(adv_domain, dt)
         new_mix = project_2d(

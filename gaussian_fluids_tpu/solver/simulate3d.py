@@ -155,7 +155,8 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
         key, kc, kp = rng.split3(key)
         new_mix = clone_velocity_field(
             mix, spec, lo=lo, hi=hi, test_x=test_x, key=kc, seed=cnt, d=3,
-            batch_size=batch_size, max_epoch=max_epoch, verbose=verbose)
+            batch_size=batch_size, max_epoch=max_epoch, verbose=verbose,
+            target_grid_res=target_grid_res)
         new_mix = advect_covector_field_3d(new_mix, mix, spec, dt)
         res = project_3d(
             new_mix, spec, mix, dt, domain=domain, test_x=test_x, key=kp,

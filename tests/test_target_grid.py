@@ -116,6 +116,63 @@ def test_project2d_cached_target_runs():
     assert np.isfinite(np.asarray(out.params()["values"])).all()
 
 
+def test_clone_cached_target_matches_exact_2d():
+    """The clone's cached [val, jac] grid reproduces the exact old field."""
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.ops.interp import bilinear_interp
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver.clone import _clone_runner
+
+    scene = get_scene_2d("taylor_green")
+    mix, spec = _smooth_mix_2d(scene)
+    lo = jnp.asarray(spec.lo, jnp.float32)
+    hi = jnp.asarray(spec.hi, jnp.float32)
+    runner = _clone_runner(spec, 64, (96, 96))
+    tgt = runner[3](mix.params(), mix.alive, lo, hi)
+    assert tgt.shape == (96, 96, 6)
+
+    rng = np.random.RandomState(5)
+    margin = 0.05 * (np.asarray(hi) - np.asarray(lo))
+    x = jnp.asarray(rng.uniform(np.asarray(lo) + margin,
+                                np.asarray(hi) - margin,
+                                (128, 2)).astype(np.float32))
+    ev, ej = field.value_and_jac(mix, spec, x)
+    dom = (lo[0], hi[0], lo[1], hi[1])
+    ref = jax.vmap(lambda ch: bilinear_interp(ch, x, dom),
+                   in_axes=-1, out_axes=-1)(tgt)
+    scale = max(float(jnp.abs(ev).max()), float(jnp.abs(ej).max()))
+    np.testing.assert_allclose(np.asarray(ref[:, :2]), np.asarray(ev),
+                               atol=0.02 * scale)
+    np.testing.assert_allclose(
+        np.asarray(ref[:, 2:]).reshape(-1, 2, 2), np.asarray(ej),
+        atol=0.05 * scale)
+
+
+def test_clone_cached_target_runs():
+    """End-to-end clone (with a forced split) under target_grid_res."""
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver.clone import clone_velocity_field
+
+    scene = get_scene_2d("taylor_green")
+    mix, spec = _smooth_mix_2d(scene)
+    p = mix.params()
+    # force one anisotropic Gaussian so the split + re-fit path runs
+    p["scalings"] = p["scalings"].at[0, 0].add(np.log(2.0))
+    mix = mix.with_params(p)
+    lo, hi = spec.lo, spec.hi
+    xs = np.linspace(lo[0], hi[0], 8, dtype=np.float32)
+    ys = np.linspace(lo[1], hi[1], 8, dtype=np.float32)
+    test_x = jnp.asarray(
+        np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2))
+    out = clone_velocity_field(mix, spec, lo=lo, hi=hi, test_x=test_x,
+                               key=jax.random.PRNGKey(0), d=2,
+                               batch_size=64, max_epoch=100, check_iter=50,
+                               verbose=0, target_grid_res=32)
+    assert isinstance(out, GaussianMixture)
+    assert out.n_alive() > mix.n_alive()
+    assert np.isfinite(np.asarray(out.params()["values"])).all()
+
+
 def test_project3d_cached_target_runs_and_converges():
     mix, spec = _smooth_mix()
     xs = np.linspace(-1.9, 1.9, 6, dtype=np.float32)
