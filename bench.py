@@ -57,7 +57,7 @@ def build_state():
     mix = mix.with_params(params).spatially_sorted()
 
     run_chunk = _runner_2d(spec, "leapfrog", ProjectWeights(),
-                           1.0, BATCH)[0]
+                           1.0, BATCH, None)[0]
     opt_state = optim.init(params, {k: 1e-4 for k in params}, patience=50)
     adv = jnp.asarray(scene.advance_domain, jnp.float32)
     dt = jnp.asarray(0.025, jnp.float32)

@@ -72,6 +72,19 @@ def bilinear_interp(field: jnp.ndarray, positions: jnp.ndarray,
             + field[x1, y1] * wx * wy)
 
 
+def multi_channel_interp(field: jnp.ndarray, positions: jnp.ndarray,
+                         domain) -> jnp.ndarray:
+    """Channels-last bi/trilinear interpolation: field (nx, ny[, nz], C),
+    positions (..., d) -> (..., C). Dispatches on positions' last dim so
+    2D/3D call sites share one helper (``domain`` is (x_min, x_max, ...)
+    per the scalar variants and may hold traced values)."""
+    import jax
+
+    f = bilinear_interp if positions.shape[-1] == 2 else trilinear_interp
+    return jax.vmap(lambda ch: f(ch, positions, domain),
+                    in_axes=-1, out_axes=-1)(field)
+
+
 @functools.lru_cache(maxsize=None)
 def _ring_builder(shape, domain):
     """Cached jitted ring seeder for a (shape, domain): center/normal/

@@ -172,7 +172,7 @@ _mixf = mixture_of
 
 @functools.lru_cache(maxsize=None)
 def _clone_runner(spec: FieldSpec, batch_size: int,
-                  target_grid: Optional[tuple] = None):
+                  target_grid: Optional[tuple]):
     """Cached jitted (chunk-runner, test-metrics) pair; the old field's
     parameters flow in as runtime data so frames don't recompile.
 
@@ -184,16 +184,12 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
     nch = spec.vdim + spec.vdim * d   # [val, jac] channels
 
     def _interp(tgt, x, lo, hi):
-        from gaussian_fluids_tpu.ops.interp import (bilinear_interp,
-                                                    trilinear_interp)
+        from gaussian_fluids_tpu.ops.interp import multi_channel_interp
         if d == 2:
             dom = (lo[0], hi[0], lo[1], hi[1])
-            f = bilinear_interp
         else:
             dom = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
-            f = trilinear_interp
-        out = jax.vmap(lambda ch: f(ch, x, dom), in_axes=-1,
-                       out_axes=-1)(tgt)
+        out = multi_channel_interp(tgt, x, dom)
         ref_val = out[:, :spec.vdim]
         ref_jac = out[:, spec.vdim:].reshape(x.shape[0], spec.vdim, d)
         return ref_val, ref_jac

@@ -70,7 +70,7 @@ _mix = mixture_of
 @functools.lru_cache(maxsize=None)
 def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
                boundary_lambda: float, batch_size: int,
-               target_grid: Optional[tuple] = None):
+               target_grid: Optional[tuple]):
     from gaussian_fluids_tpu.scenes import get_scene_2d
     scene = get_scene_2d(scene_name)
     bs1, bs2 = scene.boundary_sampler_1, scene.boundary_sampler_2
@@ -181,10 +181,15 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         uy = jnp.linspace(0.0, 1.0, ny, dtype=jnp.float32)
         gx, gy = jnp.meshgrid(ux, uy, indexing="ij")
         pts = lo + jnp.stack([gx, gy], -1).reshape(-1, 2) * (hi - lo)
-        # x-major flatten -> nondecreasing x -> presorted
-        vor = covector.advected_vorticity_2d(old_mix, spec, pts, dt,
-                                             lo, hi, presorted=True)
-        return vor.reshape(nx, ny)
+        # x-major flatten -> nondecreasing x -> presorted. Chunked like the
+        # 3D/clone variants: one unchunked res^2 backtrace materializes
+        # (res^2, N) kernel matrices on the dense backend (karman at 256^2
+        # is ~6 GB per RK4 stage).
+        xc, _ = pad_chunks(pts, 2, pts.shape[0])
+        vor = jax.lax.map(
+            lambda c: covector.advected_vorticity_2d(
+                old_mix, spec, c, dt, lo, hi, presorted=True), xc)
+        return vor.reshape(-1)[: nx * ny].reshape(nx, ny)
 
     @jax.jit
     def test_ref_fn(old_params, old_alive, test_x, adv, dt):
@@ -299,7 +304,7 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
 def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
                w: ProjectWeights, boundary_lambda: float, batch_size: int,
                lo: tuple, hi: tuple,
-               target_grid: Optional[tuple] = None):
+               target_grid: Optional[tuple]):
     bs_freeslip = None
     if scene_name is not None:
         from gaussian_fluids_tpu.scenes import get_scene_3d
@@ -328,10 +333,8 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
             # instead of re-running the 5 val+jac RK4 evals — the
             # dominant slice of the exact epoch. Opt-in deviation from
             # the reference; fidelity measured in BASELINE.md.
-            from gaussian_fluids_tpu.ops.interp import trilinear_interp
-            ref = jax.vmap(
-                lambda f: trilinear_interp(f, data, domain6),
-                in_axes=-1, out_axes=-1)(tgt)
+            from gaussian_fluids_tpu.ops.interp import multi_channel_interp
+            ref = multi_channel_interp(tgt, data, domain6)
             ref_vor = jax.lax.stop_gradient(ref[:, :3])
             ref_hel = jax.lax.stop_gradient(ref[:, 3])
         else:

@@ -53,11 +53,16 @@ def generate_gaussians(key, mix: GaussianMixture, spec: FieldSpec, domain,
     lo, hi = _domain_lo_hi(domain, d)
     ok = mix.alive if restrict is None else jnp.logical_and(
         mix.alive, restrict)
-    kp, kz = jax.random.split(key)
+    kp, kz, ku = jax.random.split(key, 3)
     logits = jnp.where(ok, 0.0, -jnp.inf)
     pick = jax.random.categorical(kp, logits, shape=(n,))
     z = jax.random.normal(kz, (n, d), jnp.float32)
-    return jnp.clip(_sample_from(mix, d, pick, z), lo, hi)
+    samp = jnp.clip(_sample_from(mix, d, pick, z), lo, hi)
+    # all logits -inf (no alive/allowed Gaussian) degenerates categorical
+    # to index 0 — a dead slot's stale state. Fall back to uniform domain
+    # samples instead of returning plausible-looking garbage.
+    fill = jax.random.uniform(ku, (n, d), jnp.float32) * (hi - lo) + lo
+    return jnp.where(jnp.any(ok), samp, fill)
 
 
 def generate_all_gaussians(key, mix: GaussianMixture, spec: FieldSpec,

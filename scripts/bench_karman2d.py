@@ -19,7 +19,8 @@ p = mix.params(); p["values"] = jnp.asarray(0.1*rng.randn(*p["values"].shape).as
 mix = mix.with_params(p).spatially_sorted()
 
 backend = os.environ.get("GF_FIELD_BACKEND", "auto")
-run_chunk = _runner_2d(spec, "karman", ProjectWeights(), 1.0, 512)[0]
+run_chunk = _runner_2d(spec, "karman", ProjectWeights(), 1.0, 512,
+                       None)[0]
 params = mix.params()
 ostate = optim.init(params, {k: 1e-4 for k in params}, patience=50)
 adv = jnp.asarray(scene.advance_domain, jnp.float32)

@@ -29,7 +29,7 @@ p["values"] = jnp.asarray(0.1 * rng.randn(*p["values"].shape).astype(np.float32)
 mix = mix.with_params(p).spatially_sorted()
 
 run_chunk = _runner_3d(spec, "ring_collide", ProjectWeights(delta_pos=0.0),
-                          float(__import__("os").environ.get("GF_BL", "10.0")), BATCH, (-5.0,) * 3, (5.0,) * 3)[0]
+                          float(__import__("os").environ.get("GF_BL", "10.0")), BATCH, (-5.0,) * 3, (5.0,) * 3, None)[0]
 params = mix.params()
 opt_state = optim.init(params, {k: 3e-4 for k in params}, patience=50)
 carry = (params, opt_state, mix.alive, mix.params(), mix.alive,

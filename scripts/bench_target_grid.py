@@ -48,7 +48,6 @@ def timed_epochs(tg, reps=200):
     carry = (params, opt_state, mix.alive, mix.params(), mix.alive, dt)
     t_pre = 0.0
     if tg is not None:
-        t0 = time.perf_counter()
         tgt = runner[3](mix.params(), mix.alive, dt)
         hard_sync(tgt)
         t0 = time.perf_counter()

@@ -80,6 +80,20 @@ def test_generate_all_gaussians_shapes_and_padding():
     assert x.min() >= -1.0 and x.max() <= 1.0
 
 
+def test_no_eligible_gaussian_falls_back_to_uniform():
+    # restrict excludes everything: categorical over all -inf logits would
+    # pick index 0 (a tight Gaussian at 0.5); the fallback must return
+    # uniform domain samples instead of that slot's blob
+    mix, spec = _mix([[0.5, 0.5]], 2, scalings=[[6.0, 6.0]])
+    restrict = jnp.zeros((mix.capacity,), bool)
+    x = np.asarray(generate_gaussians(jax.random.PRNGKey(5), mix, spec,
+                                      DOM2, 512, restrict=restrict))
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    # uniform spread, not clustered at (0.5, 0.5)
+    assert x.std(0).min() > 0.3
+    assert abs(x.mean()) < 0.2
+
+
 def test_bad_domain_raises():
     mix, spec = _mix([[0.0, 0.0]], 2)
     with pytest.raises(ValueError):

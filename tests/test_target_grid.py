@@ -148,6 +148,34 @@ def test_clone_cached_target_matches_exact_2d():
         atol=0.05 * scale)
 
 
+def test_clone_cached_target_matches_exact_3d():
+    """The d=3 branch: trilinear over 12 [val, jac] channels."""
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.ops.interp import multi_channel_interp
+    from gaussian_fluids_tpu.solver.clone import _clone_runner
+
+    mix, spec = _smooth_mix()
+    lo = jnp.asarray(spec.lo, jnp.float32)
+    hi = jnp.asarray(spec.hi, jnp.float32)
+    runner = _clone_runner(spec, 64, (32, 32, 32))
+    tgt = runner[3](mix.params(), mix.alive, lo, hi)
+    assert tgt.shape == (32, 32, 32, 12)
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.uniform(-1.9, 1.9, (128, 3)).astype(np.float32))
+    ev, ej = field.value_and_jac(mix, spec, x)
+    # the grid spans the PADDED domain (spec.lo/hi, which FieldSpec.create
+    # widens past the user domain) — interpolate over the same box
+    dom = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
+    ref = multi_channel_interp(tgt, x, dom)
+    scale = max(float(jnp.abs(ev).max()), float(jnp.abs(ej).max()))
+    np.testing.assert_allclose(np.asarray(ref[:, :3]), np.asarray(ev),
+                               atol=0.03 * scale)
+    np.testing.assert_allclose(
+        np.asarray(ref[:, 3:]).reshape(-1, 3, 3), np.asarray(ej),
+        atol=0.08 * scale)
+
+
 def test_clone_cached_target_runs():
     """End-to-end clone (with a forced split) under target_grid_res."""
     from gaussian_fluids_tpu.scenes import get_scene_2d
