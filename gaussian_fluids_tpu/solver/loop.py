@@ -60,6 +60,13 @@ def run_chunked(carry, dispatch, max_epoch: int, check_iter: int,
         mh = jax.device_get(m)
         done += cand_n
         carry = cand
+        # a diverged phase must halt loudly: NaN never beats Patience.best,
+        # so it would otherwise early-stop "normally" and the frame loop
+        # would keep writing NaN checkpoints for the rest of a long run
+        if not all(np.all(np.isfinite(leaf))
+                   for leaf in jax.tree_util.tree_leaves(mh)):
+            raise FloatingPointError(
+                f"[{tag}] non-finite test metrics after {done} epochs: {mh}")
         if on_chunk(mh, aux, cand_n):
             print(f"[{tag}] Total epoch:", done)
             break

@@ -52,6 +52,20 @@ def test_zero_budget_is_a_noop():
     assert (carry, done) == (42, 0)
 
 
+def test_non_finite_metrics_raise():
+    # NaN never beats Patience.best, so without the guard a diverged phase
+    # would "early stop" normally and the run would keep writing NaN
+    # checkpoints; the driver must halt loudly instead
+    import pytest
+
+    def dispatch(carry, n):
+        new = carry + n
+        return new, None, (float(new), np.nan)
+
+    with pytest.raises(FloatingPointError, match="clone"):
+        run_chunked(0, dispatch, 1000, 100, lambda *a: False, "clone")
+
+
 def test_patience_matches_reference_semantics():
     p = Patience(1e-3)
     p.update(1.0, 100)        # first value always improves vs inf
