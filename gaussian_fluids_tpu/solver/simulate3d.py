@@ -476,44 +476,46 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
                     res_multiplier: int = 4, grid_res=None,
                     verbose: int = 1):
     """Replay loop: seed ring densities, then per saved frame advect and
-    write .vti volumes (reference 3D/advance_density.py:87-120). Only
-    ring_collide seeding is implemented, as in the reference. The default
+    write .vti volumes (reference 3D/advance_density.py:87-120). The
+    reference hard-codes ring_collide's two rings (:95-96); here every
+    scene Ring seeds one density (ring1 -> a, ring2 -> b, ...), so all
+    ring scenes replay — identical output for ring_collide. The default
     grid is visualize_res * 4 = 512^3 (reference 3D/advance_density.py:3-7);
     ``grid_res`` overrides it for smoke tests."""
+    from gaussian_fluids_tpu.scenes.fields3d import Ring
     scene = get_scene_3d(init_cond)
     domain = scene.domain
     xn, yn, zn = grid_res or tuple(r * res_multiplier
                                    for r in scene.visualize_res)
-    if init_cond != "ring_collide":
+    rings = [scene.info[k] for k in sorted(scene.info)
+             if isinstance(scene.info[k], Ring)]
+    if not rings:
         raise NotImplementedError(
-            "density seeding only implemented for ring_collide "
-            "(as in the reference)")
-    r1, r2 = scene.info["ring1"], scene.info["ring2"]
-    d1 = interp.seed_ring_density((xn, yn, zn), domain, r1.center,
-                                  r1.normal, r1.radius, r1.thickness)
-    d2 = interp.seed_ring_density((xn, yn, zn), domain, r2.center,
-                                  r2.normal, r2.radius, r2.thickness)
+            f"scene '{init_cond}' defines no rings to seed densities from")
+    dens = [interp.seed_ring_density((xn, yn, zn), domain, r.center,
+                                     r.normal, r.radius, r.thickness)
+            for r in rings]
+    tags = [chr(ord("a") + i) for i in range(len(dens))]
     spacing = tuple((domain[2 * i + 1] - domain[2 * i]) / s
                     for i, s in enumerate((xn, yn, zn)))
     origin = (domain[0], domain[2], domain[4])
     frame = 0
     writer = _AsyncVtiWriter()
-    writer.submit(d1, origin, spacing,
-                  os.path.join(out_dir, f"density_a_{frame}.vti"))
-    writer.submit(d2, origin, spacing,
-                  os.path.join(out_dir, f"density_b_{frame}.vti"))
+    for tag, d in zip(tags, dens):
+        writer.submit(d, origin, spacing,
+                      os.path.join(out_dir, f"density_{tag}_{frame}.vti"))
     while True:
         path = os.path.join(out_dir, f"gaussian_velocity_{frame}.pt")
         if not os.path.exists(path):
             break
         mix, spec = checkpoint.load_checkpoint(path)
         frame += 1
-        d1 = advected_density(d1, mix, spec, domain, dt, (xn, yn, zn))
-        writer.submit(d1, origin, spacing,
-                      os.path.join(out_dir, f"density_a_{frame}.vti"))
-        d2 = advected_density(d2, mix, spec, domain, dt, (xn, yn, zn))
-        writer.submit(d2, origin, spacing,
-                      os.path.join(out_dir, f"density_b_{frame}.vti"))
+        for i, tag in enumerate(tags):
+            dens[i] = advected_density(dens[i], mix, spec, domain, dt,
+                                       (xn, yn, zn))
+            writer.submit(dens[i], origin, spacing,
+                          os.path.join(out_dir,
+                                       f"density_{tag}_{frame}.vti"))
         if verbose:
             print(f"Frame {frame} finished.")
     writer.drain()

@@ -120,6 +120,27 @@ def test_density_pipeline_tiny(tmp_path):
     assert d1.sum() > 0  # the ring moved but did not vanish
 
 
+def test_density_pipeline_single_ring(tmp_path):
+    """Generalized seeding: one density per scene Ring (the reference
+    hard-codes ring_collide's two; single_vortex_ring has one)."""
+    from gaussian_fluids_tpu.io import checkpoint
+    from gaussian_fluids_tpu.solver.simulate3d import advance_density
+    spec = FieldSpec.create((0, 0, 0), (1, 1, 1), 8, d=3, vdim=3)
+    pos = np.stack(np.meshgrid(*([np.linspace(0.3, 0.7, 2)] * 3),
+                               indexing="ij"), -1).reshape(-1, 3)
+    mix = GaussianMixture.create(pos, spec)
+    out = str(tmp_path)
+    checkpoint.save_checkpoint(
+        os.path.join(out, "gaussian_velocity_0.pt"), mix, spec)
+    advance_density("single_vortex_ring", out, dt=0.02,
+                    grid_res=(32, 32, 32), verbose=0)
+    import glob
+    written = sorted(glob.glob(os.path.join(out, "density_*.vti")))
+    # one ring -> only density_a, frames 0 and 1
+    assert [os.path.basename(w) for w in written] == [
+        "density_a_0.vti", "density_a_1.vti"]
+
+
 def test_density_grid_chunks_sorted_and_cached():
     """The density sweep skips the per-chunk argsort because grid-node
     chunks are globally x-sorted by construction (including the replicated
