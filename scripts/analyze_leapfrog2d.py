@@ -21,7 +21,10 @@ import sys
 
 import numpy as np
 
-import jax
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
@@ -62,9 +65,30 @@ def cores(vor, xs, ys, k=2):
     return out
 
 
+def frame_time_stats(all_frames):
+    """Per-frame wall-clock from consecutive checkpoint mtimes (the
+    north-star metric is per-frame wall-clock, BASELINE.md). Deltas over
+    10 minutes are treated as run restarts and excluded."""
+    ns = sorted(all_frames)
+    dts = []
+    for a, b in zip(ns, ns[1:]):
+        if b == a + 1:
+            d = os.path.getmtime(all_frames[b]) - os.path.getmtime(
+                all_frames[a])
+            if 0 < d < 600:
+                dts.append(d)
+    if not dts:
+        return
+    dts = np.asarray(dts)
+    print(f"# per-frame wall-clock over {len(dts)} consecutive frames: "
+          f"median {np.median(dts):.1f} s, p10 {np.percentile(dts, 10):.1f},"
+          f" p90 {np.percentile(dts, 90):.1f}, mean {dts.mean():.1f}")
+
+
 all_frames = frames()
 if not all_frames:
     sys.exit(f"no gaussian_velocity_*.pt checkpoints found in {run_dir!r}")
+frame_time_stats(all_frames)
 sampled = [n for n in all_frames if n % stride == 0] + [max(all_frames)]
 sampled = sorted(set(sampled))
 print(f"{'frame':>6} {'mean|div|':>11} {'max|div|':>10} {'mean|vor|':>10} "
