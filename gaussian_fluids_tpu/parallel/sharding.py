@@ -188,6 +188,21 @@ def dryrun(n_devices: int, batch: int = 64, n_gaussians: int = 128) -> None:
     print(f"[parallel.dryrun] projection epoch losses "
           f"vor={ls[0]:.6f} div={ls[1]:.6f} bnd={ls[2]:.6f} OK")
 
+    # and the sharded clone re-fit epoch (freeze mask + in-step old-field
+    # targets) — with fit and projection this covers every per-frame
+    # optimization phase.
+    cstep, cplace, cdata_shard = make_sharded_clone_step(spec, mesh)
+    opt4 = optim.init(params0, {k: 1e-3 for k in params0}, patience=50)
+    stop = jnp.asarray(rng.rand(n_gaussians) < 0.5)
+    cp, copt, calive, cstop, cold, cold_alive = cplace(
+        params0, opt4, mix.alive, stop, old_params, old.alive)
+    _, _, caux = cstep(cp, copt, calive, cstop, cold, cold_alive,
+                       jax.device_put(x, cdata_shard))
+    caux = np.asarray(jax.device_get(caux))
+    assert np.all(np.isfinite(caux)), caux
+    print(f"[parallel.dryrun] clone epoch losses val={caux[0]:.6f} "
+          f"grad={caux[1]:.6f} aniso={caux[2]:.6f} vol={caux[3]:.6f} OK")
+
 
 # ---- shard_map path (Pallas-kernel compatible) ----
 #
@@ -224,6 +239,22 @@ def _aniso_vol_sharded(scalings, alive):
     l_aniso = _global_masked_mean(
         jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO, alive)
     vol = jnp.exp(-scalings.sum(-1))
+    mean_vol = _global_masked_mean(vol, alive)
+    l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
+    return l_aniso, l_vol
+
+
+def _clone_reg_sharded(scalings, alive, stop):
+    """The clone re-fit's regularizers with cross-shard masked means:
+    aniso over the UNFROZEN alive rows only, volume with the frozen rows'
+    volumes detached but still entering the mean (losses.aniso_loss /
+    volume_loss(detach_mask=...), reference 2D/advance.py:108-116)."""
+    ratio = jnp.exp(scalings.max(-1) - scalings.min(-1))
+    l_aniso = _global_masked_mean(
+        jnp.maximum(ratio, losses.ANISO_RATIO) - losses.ANISO_RATIO,
+        alive & ~stop)
+    s = jnp.where(stop[:, None], jax.lax.stop_gradient(scalings), scalings)
+    vol = jnp.exp(-s.sum(-1))
     mean_vol = _global_masked_mean(vol, alive)
     l_vol = _global_masked_mean((vol / mean_vol - 1.0) ** 2, alive)
     return l_aniso, l_vol
@@ -316,6 +347,80 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
         opt_state = jax.device_put(opt_state, _opt_shardings(mesh, pshard))
         alive = jax.device_put(alive, alive_shard)
         return params, opt_state, alive
+
+    return step, place, data_shard
+
+
+def make_sharded_clone_step(spec: FieldSpec, mesh: Mesh):
+    """(step_fn, place): ONE sharded clone re-fit epoch (reference
+    2D/advance.py:96-156, 3D/advance.py:95-165, under dp x tp sharding —
+    new scope, SURVEY.md §2.8). With the fit and projection steps this
+    makes every per-frame optimization phase multi-chip.
+
+    Differences from the fit epoch (make_sharded_train_step_shardmap):
+      * the [val, jac] targets are the OLD field evaluated at the sample
+        points inside the step (partial sums over its local Gaussian
+        shard -> psum("gauss")), not caller-supplied references;
+      * the per-Gaussian ``stop`` freeze mask (gauss-sharded) zeroes the
+        frozen rows' gradients via stop_gradient (losses.freeze_params)
+        and reshapes the regularizers (_clone_reg_sharded).
+
+    Step signature: step(params, opt_state, alive, stop, old_params,
+    old_alive, data) -> (params, opt_state,
+    [l_val, l_grad, l_aniso, l_vol])."""
+    shard_map = _shard_map()
+
+    pshard = param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    data_shard = NamedSharding(mesh, P("batch", None))
+    param_specs = {k: v.spec for k, v in pshard.items()}
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs, _opt_specs(pshard), P("gauss"), P("gauss"),
+                  param_specs, P("gauss"), P("batch", None)),
+        out_specs=(param_specs, _opt_specs(pshard), P()))
+    def step_local(params, opt_state, alive, stop, old_params, old_alive,
+                   x):
+        sorting = field._use_pallas(x.shape[0],
+                                    params["positions"].shape[0])
+        if sorting:
+            x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
+        rv, rj = field.value_and_jac(_mix_of(old_params, old_alive), spec,
+                                     x, presorted=sorting)
+        ref_val = jax.lax.stop_gradient(_psum_g(rv))
+        ref_jac = jax.lax.stop_gradient(_psum_g(rj))
+
+        def loss_fn(p):
+            frozen = losses.freeze_params(p, stop)
+            val_p, jac_p = field.value_and_jac(_mix_of(frozen, alive), spec,
+                                               x, presorted=sorting,
+                                               need_dx=False)
+            l_val = losses.value_loss(_psum_g(val_p), ref_val)
+            l_grad = losses.grad_loss(_psum_g(jac_p), ref_jac)
+            l_aniso, l_vol = _clone_reg_sharded(p["scalings"], alive, stop)
+            total = l_val + l_grad + l_aniso + l_vol
+            return total, jnp.stack([l_val, l_grad, l_aniso, l_vol])
+
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        grads = _pmean_b(grads)
+        total = jax.lax.pmean(total, "batch")
+        aux = jax.lax.pmean(aux, "batch")
+        params, opt_state = optim.step(opt_state, params, grads, total)
+        return params, opt_state, aux
+
+    step = jax.jit(step_local)
+
+    def place(params, opt_state, alive, stop, old_params, old_alive):
+        params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
+        old_params = {k: jax.device_put(v, pshard[k])
+                      for k, v in old_params.items()}
+        opt_state = jax.device_put(opt_state, _opt_shardings(mesh, pshard))
+        alive = jax.device_put(alive, alive_shard)
+        stop = jax.device_put(stop, alive_shard)
+        old_alive = jax.device_put(old_alive, alive_shard)
+        return params, opt_state, alive, stop, old_params, old_alive
 
     return step, place, data_shard
 

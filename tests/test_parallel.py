@@ -362,3 +362,80 @@ def test_sharded_projection_epoch_karman(monkeypatch, backend, rtol):
         np.testing.assert_allclose(np.asarray(p_out[k]),
                                    np.asarray(p_ref[k]), rtol=rtol,
                                    atol=1e-5, err_msg=k)
+
+
+def test_sharded_clone_epoch_matches_single_device(monkeypatch):
+    """The sharded clone re-fit epoch (freeze mask + in-step old-field
+    targets + clone regularizers + Adam) must reproduce the single-device
+    clone epoch math (solver/clone.py loss_fn) on the same inputs."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.solver import losses
+
+    n, b = 128, 32
+    spec = FieldSpec.create((-5, -5), (5, 5), n, d=2, vdim=2)
+    rng = np.random.RandomState(7)
+
+    def rand_mix(seed):
+        r = np.random.RandomState(seed)
+        m = GaussianMixture.create(r.uniform(-4, 4, (n, 2)), spec,
+                                   pad=False)
+        sca = m.scalings + jnp.asarray(0.2 * r.randn(n, 2), jnp.float32)
+        rot = jnp.asarray(r.uniform(-1, 1, (n,)), jnp.float32)
+        return GaussianMixture(
+            m.positions, sca, rot,
+            jnp.asarray(0.1 * r.randn(n, 2), jnp.float32), m.alive)
+
+    mix, old_mix = rand_mix(7), rand_mix(8)
+    stop = jnp.asarray(rng.rand(n) < 0.5)
+    x = jnp.asarray(rng.uniform(-4, 4, (b, 2)), jnp.float32)
+    lrs = {"positions": 1e-2, "scalings": 5e-2, "rotations": 5e-2,
+           "values": 5e-3}
+
+    # ---- single-device epoch (solver/clone.py loss_fn, inline) ----
+    params = mix.params()
+    alive = mix.alive
+    rv, rj = field.value_and_jac(old_mix, spec, x)
+    ref_val = jax.lax.stop_gradient(rv)
+    ref_jac = jax.lax.stop_gradient(rj)
+
+    def loss_fn(p):
+        frozen = losses.freeze_params(p, stop)
+        val, jac = field.value_and_jac(
+            GaussianMixture(frozen["positions"], frozen["scalings"],
+                            frozen["rotations"], frozen["values"], alive),
+            spec, x, need_dx=False)
+        l_val = losses.value_loss(val, ref_val)
+        l_grad = losses.grad_loss(jac, ref_jac)
+        l_aniso = losses.aniso_loss(p["scalings"], alive & ~stop)
+        l_vol = losses.volume_loss(p["scalings"], alive, detach_mask=stop)
+        total = l_val + l_grad + l_aniso + l_vol
+        return total, jnp.stack([l_val, l_grad, l_aniso, l_vol])
+
+    (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    opt = optim.init(params, lrs, patience=50)
+    p_ref, _ = optim.step(opt, params, grads, total)
+
+    # frozen rows must receive exactly zero gradient
+    for k in grads:
+        g = np.asarray(grads[k])
+        frozen_rows = np.asarray(stop)
+        # regularizer grads on scalings touch frozen rows only through the
+        # detached mean, which is stop-gradient'd too -> still zero
+        assert np.all(g[frozen_rows] == 0.0), k
+
+    # ---- sharded epoch on the (4, 2) mesh ----
+    mesh = sharding.make_mesh(4, 2)
+    step, place, data_shard = sharding.make_sharded_clone_step(spec, mesh)
+    opt2 = optim.init(mix.params(), lrs, patience=50)
+    sp, sopt, salive, sstop, sold, sold_alive = place(
+        mix.params(), opt2, mix.alive, stop, old_mix.params(),
+        old_mix.alive)
+    p_out, _, saux = step(sp, sopt, salive, sstop, sold, sold_alive,
+                          jax.device_put(x, data_shard))
+    np.testing.assert_allclose(np.asarray(saux), np.asarray(aux),
+                               rtol=1e-5, atol=1e-7)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_out[k]),
+                                   np.asarray(p_ref[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
