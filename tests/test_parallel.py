@@ -439,3 +439,67 @@ def test_sharded_clone_epoch_matches_single_device(monkeypatch):
         np.testing.assert_allclose(np.asarray(p_out[k]),
                                    np.asarray(p_ref[k]), rtol=2e-4,
                                    atol=1e-6, err_msg=k)
+
+
+def test_sharded_clone_epoch_3d_matches_single_device(monkeypatch):
+    """3D (quaternion rotations): the sharded clone epoch must reproduce
+    the single-device clone epoch math."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.solver import losses
+
+    n, b = 128, 32
+    spec = FieldSpec.create((-5,) * 3, (5,) * 3, n, d=3, vdim=3)
+    rng = np.random.RandomState(9)
+
+    def rand_mix(seed):
+        r = np.random.RandomState(seed)
+        m = GaussianMixture.create(r.uniform(-4, 4, (n, 3)), spec,
+                                   pad=False)
+        sca = m.scalings + jnp.asarray(0.2 * r.randn(n, 3), jnp.float32)
+        rot = jnp.asarray(r.randn(n, 4) * 0.1
+                          + np.array([1.0, 0, 0, 0]), jnp.float32)
+        return GaussianMixture(
+            m.positions, sca, rot,
+            jnp.asarray(0.1 * r.randn(n, 3), jnp.float32), m.alive)
+
+    mix, old_mix = rand_mix(9), rand_mix(10)
+    stop = jnp.asarray(rng.rand(n) < 0.5)
+    x = jnp.asarray(rng.uniform(-4, 4, (b, 3)), jnp.float32)
+    lrs = {k: 1e-3 for k in ("positions", "scalings", "rotations",
+                             "values")}
+
+    params = mix.params()
+    alive = mix.alive
+    ref_val, ref_jac = jax.tree.map(
+        jax.lax.stop_gradient, field.value_and_jac(old_mix, spec, x))
+
+    def loss_fn(p):
+        frozen = losses.freeze_params(p, stop)
+        val, jac = field.value_and_jac(
+            GaussianMixture(frozen["positions"], frozen["scalings"],
+                            frozen["rotations"], frozen["values"], alive),
+            spec, x, need_dx=False)
+        total = (losses.value_loss(val, ref_val)
+                 + losses.grad_loss(jac, ref_jac)
+                 + losses.aniso_loss(p["scalings"], alive & ~stop)
+                 + losses.volume_loss(p["scalings"], alive,
+                                      detach_mask=stop))
+        return total
+
+    total, grads = jax.value_and_grad(loss_fn)(params)
+    opt = optim.init(params, lrs, patience=50)
+    p_ref, _ = optim.step(opt, params, grads, total)
+
+    mesh = sharding.make_mesh(4, 2)
+    step, place, data_shard = sharding.make_sharded_clone_step(spec, mesh)
+    opt2 = optim.init(mix.params(), lrs, patience=50)
+    sp, sopt, salive, sstop, sold, sold_alive = place(
+        mix.params(), opt2, mix.alive, stop, old_mix.params(),
+        old_mix.alive)
+    p_out, _, _ = step(sp, sopt, salive, sstop, sold, sold_alive,
+                       jax.device_put(x, data_shard))
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_out[k]),
+                                   np.asarray(p_ref[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
