@@ -1,0 +1,11 @@
+"""Multi-chip scaling (SURVEY.md §2.8 — new scope; the reference is
+single-GPU). ``sharding`` holds the mesh axes and the verified per-epoch
+shard_map steps (fit, clone re-fit, 2D/3D projection); ``driver`` holds
+the runnable multi-chip loops (scanned chunk runner + host loop)."""
+
+from gaussian_fluids_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh, param_shardings, make_sharded_train_step,
+    make_sharded_train_step_shardmap, make_sharded_clone_step,
+    make_sharded_project_step_2d, make_sharded_project_step_3d)
+from gaussian_fluids_tpu.parallel.driver import (  # noqa: F401
+    make_sharded_project_chunk_2d, project_2d_sharded)

@@ -1,0 +1,189 @@
+"""Multi-chip frame-loop driver: the sharded projection as a *runnable
+loop*, not just a verified single step.
+
+`make_sharded_project_chunk_2d` wraps the shared per-device projection
+epoch (sharding._project_epoch_2d) in a ``lax.scan`` over epochs INSIDE
+``shard_map``, with the per-epoch collocation/boundary sampling done
+in-graph on each device — one XLA program per ``check_iter`` chunk, the
+same host/device split as the single-device hot loop (solver/project.py):
+the host only sees test metrics between chunks for the patience early
+stop. Each batch-shard row draws its own sample points (the per-epoch key
+is folded with the device's batch-axis index; devices along the gauss axis
+fold identically so a gauss row sees ONE consistent batch), so the global
+batch is ``batch_size`` split across the batch axis — the same statistics
+as the single-device epoch at equal global batch.
+
+`project_2d_sharded` is the host loop around it — patience early stop on
+test metrics (evaluated with the single-device jitted test fns; params are
+global jax.Arrays, XLA inserts the gathers), same defaults as
+solver/project.project_2d.
+
+Validated end-to-end on the virtual CPU mesh (tests/test_parallel.py) and
+by __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+from gaussian_fluids_tpu.parallel import sharding
+from gaussian_fluids_tpu.solver import optim
+from gaussian_fluids_tpu.solver.loop import Patience, run_chunked
+from gaussian_fluids_tpu.utils import rng as rng_utils
+
+
+def make_sharded_project_chunk_2d(spec: FieldSpec, mesh: Mesh,
+                                  scene_name: str,
+                                  boundary_lambda: float = 1.0,
+                                  weights=None, batch_size: int = 512):
+    """(run_chunk, place): ``run_chunk(carry, key, n)`` runs n sharded
+    projection epochs as one XLA program. Carry matches the single-device
+    runner (solver/project.py _runner_2d): (params, opt_state, alive,
+    positions_org, old_params, old_alive, adv, dt). ``batch_size`` is the
+    GLOBAL per-epoch batch, split across the mesh's batch axis."""
+    epoch, has_bs1, has_bs2, scene, sf = sharding._project_epoch_2d(
+        spec, scene_name, boundary_lambda, weights)
+    bs1, bs2 = scene.boundary_sampler_1, scene.boundary_sampler_2
+    shard_map = sharding._shard_map()
+
+    n_batch = mesh.shape["batch"]
+    if batch_size % n_batch:
+        raise ValueError(f"global batch {batch_size} not divisible by the "
+                         f"batch mesh axis ({n_batch})")
+    b_local = batch_size // n_batch
+
+    pshard = sharding.param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    param_specs = {k: v.spec for k, v in pshard.items()}
+    carry_specs = (param_specs, sharding._opt_specs(pshard), P("gauss"),
+                   P("gauss", None), param_specs, P("gauss"), P(), P())
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=carry_specs + (P(None, None),),
+        out_specs=(carry_specs, P(None, None)))
+    def chunk_local(params, opt_state, alive, positions_org, old_params,
+                    old_alive, adv, dt, keys):
+        # every device on one batch row must draw the SAME samples (they
+        # share the batch shard and differ only in their gauss shard)
+        dev = jax.lax.axis_index("batch")
+
+        def body(carry, key):
+            params, opt_state = carry
+            key = jax.random.fold_in(key, dev)
+            kd, kb1, kb2 = jax.random.split(key, 3)
+            lo = jnp.stack([adv[0], adv[2]]) * sf
+            hi = jnp.stack([adv[1], adv[3]]) * sf
+            data = jax.random.uniform(kd, (b_local, 2), jnp.float32) \
+                * (hi - lo) + lo
+            bd1 = bval1 = bd = bn = bnr = None
+            if has_bs1:
+                bd1, bval1 = bs1(kb1, b_local, adv)
+            if has_bs2:
+                bd, bn, bnr = bs2(kb2, b_local, adv)
+            params, opt_state, ls = epoch(
+                params, opt_state, alive, positions_org, old_params,
+                old_alive, adv, dt, data, bd1, bval1, bd, bn, bnr)
+            return (params, opt_state), ls
+
+        (params, opt_state), ls = jax.lax.scan(body, (params, opt_state),
+                                               keys)
+        return (params, opt_state, alive, positions_org, old_params,
+                old_alive, adv, dt), ls
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, key, n):
+        return chunk_local(*carry, jax.random.split(key, n))
+
+    def place(params, opt_state, alive, positions_org, old_params,
+              old_alive, adv, dt):
+        params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
+        old_params = {k: jax.device_put(v, pshard[k])
+                      for k, v in old_params.items()}
+        opt_state = jax.device_put(
+            opt_state, sharding._opt_shardings(mesh, pshard))
+        alive = jax.device_put(alive, alive_shard)
+        old_alive = jax.device_put(old_alive, alive_shard)
+        positions_org = jax.device_put(
+            positions_org, NamedSharding(mesh, P("gauss", None)))
+        return (params, opt_state, alive, positions_org, old_params,
+                old_alive, jnp.asarray(adv, jnp.float32),
+                jnp.asarray(dt, jnp.float32))
+
+    return run_chunk, place
+
+
+def project_2d_sharded(mix: GaussianMixture, spec: FieldSpec,
+                       old_mix: GaussianMixture, dt: float, *,
+                       mesh: Mesh, scene, adv_domain, test_x, key,
+                       weights=None, boundary_lambda: float = 1.0,
+                       lrs: Optional[Dict[str, float]] = None,
+                       batch_size: int = 512, max_epoch: int = 3000,
+                       patience: int = 500, check_iter: int = 100,
+                       verbose: int = 1) -> GaussianMixture:
+    """Multi-chip twin of solver/project.project_2d: the full per-frame
+    projection (reference 2D/advance.py:187-302) with every epoch running
+    dp x tp sharded over ``mesh``. Same defaults, same patience semantics;
+    test metrics are computed with the single-device jitted test fns on
+    the global (sharded) arrays."""
+    from gaussian_fluids_tpu.solver.project import _runner_2d, \
+        ProjectWeights
+
+    w = weights or ProjectWeights()
+    if lrs is None:
+        lrs = {"positions": 1e-4, "scalings": 1e-4, "rotations": 1e-4,
+               "values": 1e-4}
+    run_chunk, place = make_sharded_project_chunk_2d(
+        spec, mesh, scene.name, float(boundary_lambda), w, batch_size)
+    # reuse the single-device test fns (solver/project.py)
+    _, test_ref_fn, test_fn, _ = _runner_2d(
+        spec, scene.name, w, float(boundary_lambda), batch_size, None)
+
+    test_x = jnp.asarray(test_x)
+    test_x = test_x[jnp.argsort(test_x[:, 0])]
+    params = mix.params()
+    opt_state = optim.init(params, lrs, patience=50)
+    carry = place(params, opt_state, mix.alive,
+                  jax.lax.stop_gradient(mix.positions), old_mix.params(),
+                  old_mix.alive, adv_domain, dt)
+    adv_j = jnp.asarray(adv_domain, jnp.float32)
+    dt_j = jnp.asarray(dt, jnp.float32)
+    test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, adv_j,
+                           dt_j)
+
+    if verbose:
+        lv, ld, ldm = jax.device_get(
+            test_fn(carry[0], carry[2], test_x, test_ref))
+        print(f"[projection/sharded] loss_vor: {lv}, loss_div: {ld}, "
+              f"loss_div_max: {ldm}")
+
+    pat_vor, pat_div = Patience(1e-3), Patience(1e-2)
+    st = time.time()
+
+    def dispatch(c, n):
+        nonlocal key
+        key, sub = rng_utils.split2(key)
+        c2, _ = run_chunk(c, sub, n)
+        return c2, None, test_fn(c2[0], c2[2], test_x, test_ref)
+
+    def on_chunk(mh, _aux, n):
+        nonlocal st
+        lv, ld, ldm = mh
+        if verbose:
+            print(f"[projection/sharded] loss_vor: {lv}, loss_div: {ld}, "
+                  f"loss_div_max: {ldm}, time: {time.time() - st}")
+            st = time.time()
+        pat_vor.update(float(lv), n)
+        pat_div.update(float(ld), n)
+        return pat_vor.iters >= patience and pat_div.iters >= patience
+
+    carry, _ = run_chunked(carry, dispatch, max_epoch, check_iter,
+                           on_chunk, "projection/sharded")
+    return mix.with_params({k: jnp.asarray(v) for k, v in carry[0].items()})

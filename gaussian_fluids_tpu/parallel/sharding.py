@@ -446,24 +446,13 @@ def make_sharded_clone_step(spec: FieldSpec, mesh: Mesh):
 # cotangents already live on the local Gaussian shard (no gradient psum
 # over the gauss axis).
 
-def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
-                                 scene_name: str,
-                                 boundary_lambda: float = 1.0,
-                                 weights=None):
-    """(step_fn, place): ONE sharded 2D projection epoch (reference
-    2D/advance.py:187-302 under dp x tp sharding — new scope, SURVEY.md
-    §2.8; the reference is single-GPU).
-
-    The caller supplies the epoch's sample rows pre-sharded over the batch
-    axis, matching the scene's samplers (solver/project.py):
-      * always: collocation ``data`` (B, 2);
-      * if the scene has a type-1 Dirichlet sampler (karman,
-        vortices_pass_noslip): ``bd1`` (B, 2), ``bval1`` (B, 2);
-      * if it has a type-2 flux sampler: ``bd`` (B, 2), ``bn`` (B, 2),
-        ``bnr`` (B,).
-    Step signature: step(params, opt_state, alive, positions_org,
-    old_params, old_alive, adv, dt, data[, bd1, bval1][, bd, bn, bnr]).
-    Returns updated (params, opt_state) and global [l_vor, l_div, l_bnd]."""
+def _project_epoch_2d(spec: FieldSpec, scene_name: str,
+                      boundary_lambda: float, weights):
+    """The per-device 2D projection-epoch math, shared by the one-step
+    shard_map wrapper (make_sharded_project_step_2d) and the scanned chunk
+    runner (parallel/driver.py). Must be called INSIDE shard_map: it uses
+    psum('gauss') / pmean('batch') collectives. Boundary rows not used by
+    the scene are passed as None."""
     from gaussian_fluids_tpu.scenes import get_scene_2d
     from gaussian_fluids_tpu.solver.project import ProjectWeights
 
@@ -472,51 +461,9 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
     sf = scene.scaling_factor
     has_bs1 = scene.boundary_sampler_1 is not None
     has_bs2 = scene.boundary_sampler_2 is not None
-    shard_map = _shard_map()
 
-    pshard = param_shardings(mesh)
-    alive_shard = NamedSharding(mesh, P("gauss"))
-    data_shard = NamedSharding(mesh, P("batch", None))
-    param_specs = {k: v.spec for k, v in pshard.items()}
-    row_specs = (P("batch", None),)
-    if has_bs1:
-        row_specs += (P("batch", None), P("batch", None))
-    if has_bs2:
-        row_specs += (P("batch", None), P("batch", None), P("batch"))
-
-    def _covector(old_mix, x, dt, lo, hi, presorted):
-        """Sharded advected_vorticity_2d (solver/covector.py): value-only
-        RK4 stages and the endpoint Jacobian are each partial sums over the
-        local Gaussian shard, psum'd before the next stage consumes them."""
-        f = lambda p: _psum_g(field.value(old_mix, spec, p,
-                                          presorted=presorted,
-                                          need_dx=False))
-        v = f(x)
-        v1 = f(x - dt * 0.5 * v)
-        v2 = f(x - dt * 0.5 * v1)
-        v3 = f(x - dt * v2)
-        bk_x = x - dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
-        _, dv = field.value_and_jac(old_mix, spec, bk_x,
-                                    presorted=presorted, need_dx=False)
-        vor = losses.curl2d(_psum_g(dv))
-        inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
-        return jnp.where(inside, vor, 0.0)
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(param_specs, _opt_specs(pshard), P("gauss"),
-                  P("gauss", None), param_specs, P("gauss"), P(), P())
-                 + row_specs,
-        out_specs=(param_specs, _opt_specs(pshard), P()))
-    def step_local(params, opt_state, alive, positions_org, old_params,
-                   old_alive, adv, dt, data, *rows):
-        rows = list(rows)
-        bd1 = bval1 = bd = bn = bnr = None
-        if has_bs1:
-            bd1, bval1 = rows[0], rows[1]
-            rows = rows[2:]
-        if has_bs2:
-            bd, bn, bnr = rows
+    def epoch(params, opt_state, alive, positions_org, old_params,
+              old_alive, adv, dt, data, bd1, bval1, bd, bn, bnr):
         old_mix = _mix_of(old_params, old_alive)
         lo = jnp.stack([adv[0], adv[2]]) * sf
         hi = jnp.stack([adv[1], adv[3]]) * sf
@@ -533,8 +480,27 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
             if has_bs2:
                 o = jnp.argsort(bd[:, 0])
                 bd, bn, bnr = bd[o], bn[o], bnr[o]
-        ref_vor = jax.lax.stop_gradient(
-            _covector(old_mix, data, dt, lo, hi, sorting))
+
+        def _covector(x):
+            """Sharded advected_vorticity_2d (solver/covector.py):
+            value-only RK4 stages and the endpoint Jacobian are each
+            partial sums over the local Gaussian shard, psum'd before the
+            next stage consumes them."""
+            f = lambda p: _psum_g(field.value(old_mix, spec, p,
+                                              presorted=sorting,
+                                              need_dx=False))
+            v = f(x)
+            v1 = f(x - dt * 0.5 * v)
+            v2 = f(x - dt * 0.5 * v1)
+            v3 = f(x - dt * v2)
+            bk_x = x - dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+            _, dv = field.value_and_jac(old_mix, spec, bk_x,
+                                        presorted=sorting, need_dx=False)
+            vor = losses.curl2d(_psum_g(dv))
+            inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
+            return jnp.where(inside, vor, 0.0)
+
+        ref_vor = jax.lax.stop_gradient(_covector(data))
 
         # Heads psum the LOCAL (val, jac) partials internally: the psum
         # transpose broadcasts each head's global-output cotangent back to
@@ -586,6 +552,59 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
         params, opt_state = optim.step(opt_state, params, grads,
                                        l_vor + l_div + l_rest)
         return params, opt_state, jnp.stack([l_vor, l_div, bc])
+
+    return epoch, has_bs1, has_bs2, scene, sf
+
+
+def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
+                                 scene_name: str,
+                                 boundary_lambda: float = 1.0,
+                                 weights=None):
+    """(step_fn, place): ONE sharded 2D projection epoch (reference
+    2D/advance.py:187-302 under dp x tp sharding — new scope, SURVEY.md
+    §2.8; the reference is single-GPU).
+
+    The caller supplies the epoch's sample rows pre-sharded over the batch
+    axis, matching the scene's samplers (solver/project.py):
+      * always: collocation ``data`` (B, 2);
+      * if the scene has a type-1 Dirichlet sampler (karman,
+        vortices_pass_noslip): ``bd1`` (B, 2), ``bval1`` (B, 2);
+      * if it has a type-2 flux sampler: ``bd`` (B, 2), ``bn`` (B, 2),
+        ``bnr`` (B,).
+    Step signature: step(params, opt_state, alive, positions_org,
+    old_params, old_alive, adv, dt, data[, bd1, bval1][, bd, bn, bnr]).
+    Returns updated (params, opt_state) and global [l_vor, l_div, l_bnd]."""
+    epoch, has_bs1, has_bs2, _, _ = _project_epoch_2d(
+        spec, scene_name, boundary_lambda, weights)
+    shard_map = _shard_map()
+
+    pshard = param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    data_shard = NamedSharding(mesh, P("batch", None))
+    param_specs = {k: v.spec for k, v in pshard.items()}
+    row_specs = (P("batch", None),)
+    if has_bs1:
+        row_specs += (P("batch", None), P("batch", None))
+    if has_bs2:
+        row_specs += (P("batch", None), P("batch", None), P("batch"))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs, _opt_specs(pshard), P("gauss"),
+                  P("gauss", None), param_specs, P("gauss"), P(), P())
+                 + row_specs,
+        out_specs=(param_specs, _opt_specs(pshard), P()))
+    def step_local(params, opt_state, alive, positions_org, old_params,
+                   old_alive, adv, dt, data, *rows):
+        rows = list(rows)
+        bd1 = bval1 = bd = bn = bnr = None
+        if has_bs1:
+            bd1, bval1 = rows[0], rows[1]
+            rows = rows[2:]
+        if has_bs2:
+            bd, bn, bnr = rows
+        return epoch(params, opt_state, alive, positions_org, old_params,
+                     old_alive, adv, dt, data, bd1, bval1, bd, bn, bnr)
 
     step = jax.jit(step_local)
 
