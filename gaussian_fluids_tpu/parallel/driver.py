@@ -120,6 +120,146 @@ def make_sharded_project_chunk_2d(spec: FieldSpec, mesh: Mesh,
     return run_chunk, place
 
 
+def make_sharded_clone_chunk(spec: FieldSpec, mesh: Mesh,
+                             batch_size: int = 512):
+    """(run_chunk, place): ``run_chunk(carry, key, n)`` runs n sharded
+    clone re-fit epochs as one XLA program. Carry matches the
+    single-device clone runner (solver/clone.py _clone_runner): (params,
+    opt_state, alive, stop, old_params, old_alive, lo, hi)."""
+    epoch = sharding._clone_epoch(spec)
+    shard_map = sharding._shard_map()
+
+    n_batch = mesh.shape["batch"]
+    if batch_size % n_batch:
+        raise ValueError(f"global batch {batch_size} not divisible by the "
+                         f"batch mesh axis ({n_batch})")
+    b_local = batch_size // n_batch
+    d = spec.d
+
+    pshard = sharding.param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    param_specs = {k: v.spec for k, v in pshard.items()}
+    carry_specs = (param_specs, sharding._opt_specs(pshard), P("gauss"),
+                   P("gauss"), param_specs, P("gauss"), P(), P())
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=carry_specs + (P(None, None),),
+        out_specs=(carry_specs, P(None, None)))
+    def chunk_local(params, opt_state, alive, stop, old_params, old_alive,
+                    lo, hi, keys):
+        dev = jax.lax.axis_index("batch")
+
+        def body(carry, key):
+            params, opt_state = carry
+            kd = jax.random.fold_in(key, dev)
+            x = jax.random.uniform(kd, (b_local, d), jnp.float32) \
+                * (hi - lo) + lo
+            params, opt_state, aux = epoch(
+                params, opt_state, alive, stop, old_params, old_alive, x)
+            return (params, opt_state), aux
+
+        (params, opt_state), aux = jax.lax.scan(body, (params, opt_state),
+                                                keys)
+        return (params, opt_state, alive, stop, old_params, old_alive,
+                lo, hi), aux
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, key, n):
+        return chunk_local(*carry, jax.random.split(key, n))
+
+    def place(params, opt_state, alive, stop, old_params, old_alive,
+              lo, hi):
+        params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
+        old_params = {k: jax.device_put(v, pshard[k])
+                      for k, v in old_params.items()}
+        opt_state = jax.device_put(
+            opt_state, sharding._opt_shardings(mesh, pshard))
+        alive = jax.device_put(alive, alive_shard)
+        stop = jax.device_put(jnp.asarray(stop), alive_shard)
+        old_alive = jax.device_put(old_alive, alive_shard)
+        return (params, opt_state, alive, stop, old_params, old_alive,
+                jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32))
+
+    return run_chunk, place
+
+
+def clone_velocity_field_sharded(old_mix: GaussianMixture, spec: FieldSpec,
+                                 *, mesh: Mesh, lo, hi, test_x, key,
+                                 seed: int = 0, d: int = 2,
+                                 lrs: Optional[Dict[str, float]] = None,
+                                 batch_size: int = 512,
+                                 max_epoch: int = 3000,
+                                 patience: int = 500, check_iter: int = 100,
+                                 verbose: int = 1) -> GaussianMixture:
+    """Multi-chip twin of solver/clone.clone_velocity_field: the split
+    (host-side restructuring, unchanged) followed by the re-fit with every
+    epoch running dp x tp sharded over ``mesh``."""
+    import numpy as np
+    from gaussian_fluids_tpu.solver.clone import (
+        split_gaussians_2d, split_gaussians_3d, _unfreeze_neighbors,
+        _repad_like, _clone_runner)
+
+    rng = np.random.RandomState(seed)
+    test_x_s = jnp.asarray(test_x)
+    test_x_s = test_x_s[jnp.argsort(test_x_s[:, 0])]
+    if d == 2:
+        new_mix, stop_np, n_split = split_gaussians_2d(old_mix, spec, rng)
+        if lrs is None:
+            lrs = {"positions": 1e-2, "scalings": 5e-2, "rotations": 5e-2,
+                   "values": 5e-3}
+    else:
+        new_mix, stop_np, n_split = split_gaussians_3d(old_mix, spec, rng)
+        if lrs is None:
+            lrs = {k: 1e-3 for k in ("positions", "scalings", "rotations",
+                                     "values")}
+    if n_split == 0:
+        return new_mix
+    stop = _unfreeze_neighbors(new_mix, spec, stop_np)
+    if verbose:
+        print(f"[clone/sharded] Add {n_split} particles.")
+
+    run_chunk, place = make_sharded_clone_chunk(spec, mesh, batch_size)
+    # single-device test fns (solver/clone.py) on the global arrays
+    _, test_ref_fn, test_fn, _ = _clone_runner(spec, batch_size, None)
+
+    old_padded = _repad_like(old_mix, new_mix.capacity, spec)
+    params = new_mix.params()
+    opt_state = optim.init(params, lrs, patience=50)
+    carry = place(params, opt_state, new_mix.alive, stop,
+                  old_padded.params(), old_padded.alive, lo, hi)
+    test_ref = test_ref_fn(old_padded.params(), old_padded.alive, test_x_s)
+
+    if verbose:
+        lv, lg = jax.device_get(
+            test_fn(carry[0], carry[2], test_x_s, test_ref))
+        print(f"[clone/sharded] loss: {lv}, loss_grad: {lg}")
+
+    pat_v, pat_g = Patience(1e-3), Patience(1e-3)
+    st = time.time()
+
+    def dispatch(c, n):
+        nonlocal key
+        key, sub = rng_utils.split2(key)
+        c2, _ = run_chunk(c, sub, n)
+        return c2, None, test_fn(c2[0], c2[2], test_x_s, test_ref)
+
+    def on_chunk(mh, _aux, n):
+        nonlocal st
+        lv, lg = mh
+        if verbose:
+            print(f"[clone/sharded] loss: {lv}, loss_grad: {lg}, "
+                  f"time: {time.time() - st}")
+            st = time.time()
+        pat_v.update(float(lv), n)
+        pat_g.update(float(lg), n)
+        return pat_v.iters >= patience and pat_g.iters >= patience
+
+    carry, _ = run_chunked(carry, dispatch, max_epoch, check_iter,
+                           on_chunk, "clone/sharded")
+    return new_mix.with_params({k: jnp.asarray(v)
+                                for k, v in carry[0].items()})
+
+
 def project_2d_sharded(mix: GaussianMixture, spec: FieldSpec,
                        old_mix: GaussianMixture, dt: float, *,
                        mesh: Mesh, scene, adv_domain, test_x, key,

@@ -351,37 +351,13 @@ def make_sharded_train_step_shardmap(spec: FieldSpec, mesh: Mesh):
     return step, place, data_shard
 
 
-def make_sharded_clone_step(spec: FieldSpec, mesh: Mesh):
-    """(step_fn, place): ONE sharded clone re-fit epoch (reference
-    2D/advance.py:96-156, 3D/advance.py:95-165, under dp x tp sharding —
-    new scope, SURVEY.md §2.8). With the fit and projection steps this
-    makes every per-frame optimization phase multi-chip.
+def _clone_epoch(spec: FieldSpec):
+    """The per-device clone re-fit epoch math, shared by the one-step
+    shard_map wrapper (make_sharded_clone_step) and the scanned chunk
+    runner (parallel/driver.py). Must be called INSIDE shard_map: it uses
+    psum('gauss') / pmean('batch') collectives."""
 
-    Differences from the fit epoch (make_sharded_train_step_shardmap):
-      * the [val, jac] targets are the OLD field evaluated at the sample
-        points inside the step (partial sums over its local Gaussian
-        shard -> psum("gauss")), not caller-supplied references;
-      * the per-Gaussian ``stop`` freeze mask (gauss-sharded) zeroes the
-        frozen rows' gradients via stop_gradient (losses.freeze_params)
-        and reshapes the regularizers (_clone_reg_sharded).
-
-    Step signature: step(params, opt_state, alive, stop, old_params,
-    old_alive, data) -> (params, opt_state,
-    [l_val, l_grad, l_aniso, l_vol])."""
-    shard_map = _shard_map()
-
-    pshard = param_shardings(mesh)
-    alive_shard = NamedSharding(mesh, P("gauss"))
-    data_shard = NamedSharding(mesh, P("batch", None))
-    param_specs = {k: v.spec for k, v in pshard.items()}
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(param_specs, _opt_specs(pshard), P("gauss"), P("gauss"),
-                  param_specs, P("gauss"), P("batch", None)),
-        out_specs=(param_specs, _opt_specs(pshard), P()))
-    def step_local(params, opt_state, alive, stop, old_params, old_alive,
-                   x):
+    def epoch(params, opt_state, alive, stop, old_params, old_alive, x):
         sorting = field._use_pallas(x.shape[0],
                                     params["positions"].shape[0])
         if sorting:
@@ -409,6 +385,45 @@ def make_sharded_clone_step(spec: FieldSpec, mesh: Mesh):
         aux = jax.lax.pmean(aux, "batch")
         params, opt_state = optim.step(opt_state, params, grads, total)
         return params, opt_state, aux
+
+    return epoch
+
+
+def make_sharded_clone_step(spec: FieldSpec, mesh: Mesh):
+    """(step_fn, place): ONE sharded clone re-fit epoch (reference
+    2D/advance.py:96-156, 3D/advance.py:95-165, under dp x tp sharding —
+    new scope, SURVEY.md §2.8). With the fit and projection steps this
+    makes every per-frame optimization phase multi-chip.
+
+    Differences from the fit epoch (make_sharded_train_step_shardmap):
+      * the [val, jac] targets are the OLD field evaluated at the sample
+        points inside the step (partial sums over its local Gaussian
+        shard -> psum("gauss")), not caller-supplied references;
+      * the per-Gaussian ``stop`` freeze mask (gauss-sharded) zeroes the
+        frozen rows' gradients via stop_gradient (losses.freeze_params)
+        and reshapes the regularizers (_clone_reg_sharded).
+
+    Step signature: step(params, opt_state, alive, stop, old_params,
+    old_alive, data) -> (params, opt_state,
+    [l_val, l_grad, l_aniso, l_vol])."""
+    shard_map = _shard_map()
+
+    pshard = param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    data_shard = NamedSharding(mesh, P("batch", None))
+    param_specs = {k: v.spec for k, v in pshard.items()}
+
+    epoch = _clone_epoch(spec)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs, _opt_specs(pshard), P("gauss"), P("gauss"),
+                  param_specs, P("gauss"), P("batch", None)),
+        out_specs=(param_specs, _opt_specs(pshard), P()))
+    def step_local(params, opt_state, alive, stop, old_params, old_alive,
+                   x):
+        return epoch(params, opt_state, alive, stop, old_params, old_alive,
+                     x)
 
     step = jax.jit(step_local)
 

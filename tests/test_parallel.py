@@ -633,3 +633,96 @@ def test_project_2d_sharded_runs_and_improves(monkeypatch):
                                          jnp.asarray(test_x), tref))
     assert np.isfinite(lv1) and np.isfinite(ld1)
     assert ld1 <= ld0 * 1.05 and lv1 <= lv0 * 1.05, (lv0, ld0, lv1, ld1)
+
+
+def test_sharded_clone_chunk_matches_step(monkeypatch):
+    """One epoch through the scanned clone chunk runner must equal the
+    one-step shard_map clone epoch fed the identical samples."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu.parallel import driver
+
+    n, b_global = 128, 64
+    spec = FieldSpec.create((-5, -5), (5, 5), n, d=2, vdim=2)
+    rng = np.random.RandomState(15)
+
+    def rand_mix(seed):
+        r = np.random.RandomState(seed)
+        m = GaussianMixture.create(r.uniform(-4, 4, (n, 2)), spec,
+                                   pad=False)
+        sca = m.scalings + jnp.asarray(0.2 * r.randn(n, 2), jnp.float32)
+        rot = jnp.asarray(r.uniform(-1, 1, (n,)), jnp.float32)
+        return GaussianMixture(
+            m.positions, sca, rot,
+            jnp.asarray(0.1 * r.randn(n, 2), jnp.float32), m.alive)
+
+    mix, old_mix = rand_mix(15), rand_mix(16)
+    stop = jnp.asarray(rng.rand(n) < 0.5)
+    lrs = {"positions": 1e-2, "scalings": 5e-2, "rotations": 5e-2,
+           "values": 5e-3}
+    lo = jnp.asarray([-4.0, -4.0])
+    hi = jnp.asarray([4.0, 4.0])
+    mesh = sharding.make_mesh(4, 2)
+    n_batch, b_local = 4, b_global // 4
+
+    run_chunk, place = driver.make_sharded_clone_chunk(spec, mesh,
+                                                       b_global)
+    opt = optim.init(mix.params(), lrs, patience=50)
+    carry = place(mix.params(), opt, mix.alive, stop, old_mix.params(),
+                  old_mix.alive, lo, hi)
+    key = jax.random.PRNGKey(4)
+    carry2, aux = run_chunk(carry, key, 1)
+    p_chunk = {k: np.asarray(v) for k, v in carry2[0].items()}
+
+    keys = jax.random.split(key, 1)
+    xs = []
+    for i in range(n_batch):
+        kd = jax.random.fold_in(keys[0], i)
+        xs.append(jax.random.uniform(kd, (b_local, 2), jnp.float32)
+                  * (hi - lo) + lo)
+    x = jnp.concatenate(xs)
+    step, splace, data_shard = sharding.make_sharded_clone_step(spec, mesh)
+    opt2 = optim.init(mix.params(), lrs, patience=50)
+    sp, sopt, salive, sstop, sold, sold_alive = splace(
+        mix.params(), opt2, mix.alive, stop, old_mix.params(),
+        old_mix.alive)
+    p_step, _, aux2 = step(sp, sopt, salive, sstop, sold, sold_alive,
+                           jax.device_put(x, data_shard))
+    np.testing.assert_allclose(np.asarray(aux)[0], np.asarray(aux2),
+                               rtol=1e-5, atol=1e-7)
+    for k in p_chunk:
+        np.testing.assert_allclose(p_chunk[k], np.asarray(p_step[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_clone_velocity_field_sharded_end_to_end(monkeypatch):
+    """Full sharded clone (host split + sharded re-fit loop): splits the
+    over-stretched Gaussians and re-fits toward the old field on the
+    virtual mesh without diverging."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.parallel import driver
+
+    n = 96
+    spec = FieldSpec.create((-5, -5), (5, 5), n, d=2, vdim=2)
+    r = np.random.RandomState(17)
+    m = GaussianMixture.create(r.uniform(-4, 4, (n, 2)), spec, pad=False)
+    sca = np.array(m.scalings)
+    sca[: n // 4, 0] += np.log(2.0)   # stretched -> must split
+    old_mix = GaussianMixture(
+        m.positions, jnp.asarray(sca), m.rotations,
+        jnp.asarray(0.1 * r.randn(n, 2), jnp.float32), m.alive)
+
+    xs = np.linspace(-4, 4, 10)
+    test_x = np.stack(np.meshgrid(xs, xs, indexing="xy"), -1).reshape(-1, 2)
+    mesh = sharding.make_mesh(4, 2)
+    out = driver.clone_velocity_field_sharded(
+        old_mix, spec, mesh=mesh, lo=(-5.0, -5.0), hi=(5.0, 5.0),
+        test_x=test_x, key=jax.random.PRNGKey(8), seed=1, d=2,
+        batch_size=64, max_epoch=200, check_iter=100, verbose=0)
+    assert int(out.n_alive()) == n + n // 4   # 2 children per split parent
+    # the re-fit result must approximate the old field
+    pts = jnp.asarray(test_x, jnp.float32)
+    v_old, _ = field.value_and_jac(old_mix, spec, pts)
+    v_new, _ = field.value_and_jac(out, spec, pts)
+    err = float(jnp.abs(v_new - v_old).mean())
+    assert np.isfinite(err) and err < 0.05, err
