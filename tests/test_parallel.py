@@ -726,3 +726,58 @@ def test_clone_velocity_field_sharded_end_to_end(monkeypatch):
     v_new, _ = field.value_and_jac(out, spec, pts)
     err = float(jnp.abs(v_new - v_old).mean())
     assert np.isfinite(err) and err < 0.05, err
+
+
+def test_full_frame_sharded(monkeypatch):
+    """One COMPLETE simulation frame through the multi-chip loops:
+    sharded clone re-fit -> advect (host restructuring, as in the
+    single-device loop) -> sharded projection. The frame must keep the
+    field finite and not inflate the divergence residual."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.parallel import driver
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver.advect_field import (
+        advect_covector_field_2d)
+    from gaussian_fluids_tpu.solver import losses
+    from gaussian_fluids_tpu.solver.project import ProjectWeights
+
+    scene = get_scene_2d("leapfrog")
+    sf = scene.scaling_factor
+    adv = np.asarray(scene.advance_domain, np.float32)
+    lo = np.asarray([adv[0], adv[2]]) * sf
+    hi = np.asarray([adv[1], adv[3]]) * sf
+    n = 96
+    spec = FieldSpec.create(tuple(lo), tuple(hi), n, d=2, vdim=2)
+    r = np.random.RandomState(19)
+    m = GaussianMixture.create(r.uniform(lo * 0.8, hi * 0.8, (n, 2)), spec,
+                               pad=False)
+    sca = np.array(m.scalings)
+    sca[: n // 6, 0] += np.log(2.0)   # some must split in the clone
+    cur = GaussianMixture(m.positions, jnp.asarray(sca), m.rotations,
+                          jnp.asarray(0.05 * r.randn(n, 2), jnp.float32),
+                          m.alive).spatially_sorted()
+
+    xs = np.linspace(lo[0], hi[0], 10)
+    ys = np.linspace(lo[1], hi[1], 10)
+    test_x = np.stack(np.meshgrid(xs, ys, indexing="xy"), -1).reshape(-1, 2)
+    mesh = sharding.make_mesh(4, 2)
+
+    new = driver.clone_velocity_field_sharded(
+        cur, spec, mesh=mesh, lo=tuple(lo), hi=tuple(hi), test_x=test_x,
+        key=jax.random.PRNGKey(21), seed=2, d=2, batch_size=64,
+        max_epoch=200, check_iter=100, verbose=0)
+    new = advect_covector_field_2d(new, spec, 0.025)
+    out = driver.project_2d_sharded(
+        new, spec, cur, 0.025, mesh=mesh, scene=scene,
+        adv_domain=scene.advance_domain, test_x=test_x,
+        key=jax.random.PRNGKey(22), weights=ProjectWeights(),
+        batch_size=64, max_epoch=200, check_iter=100, verbose=0)
+
+    pts = jnp.asarray(test_x, jnp.float32)
+    _, jac0 = field.value_and_jac(cur, spec, pts)
+    _, jac1 = field.value_and_jac(out, spec, pts)
+    div0 = float(jnp.abs(losses.divergence(jac0)).mean())
+    div1 = float(jnp.abs(losses.divergence(jac1)).mean())
+    assert np.isfinite(div1)
+    assert div1 <= max(div0, 1e-3) * 2.0, (div0, div1)
