@@ -203,6 +203,33 @@ def dryrun(n_devices: int, batch: int = 64, n_gaussians: int = 128) -> None:
     print(f"[parallel.dryrun] clone epoch losses val={caux[0]:.6f} "
           f"grad={caux[1]:.6f} aniso={caux[2]:.6f} vol={caux[3]:.6f} OK")
 
+    # and the runnable chunk loops (parallel/driver.py): a 2-epoch scanned
+    # chunk of each, with the per-epoch sampling done in-graph per device.
+    from gaussian_fluids_tpu.parallel import driver
+    prun, pplace2 = driver.make_sharded_project_chunk_2d(
+        spec, mesh, "leapfrog", 1.0, None, batch_size=batch)
+    pcarry = pplace2(params0, optim.init(params0,
+                                         {k: 1e-4 for k in params0},
+                                         patience=50),
+                     mix.alive, params0["positions"], old_params,
+                     old.alive, scene.advance_domain, 0.025)
+    pcarry, pls = prun(pcarry, jax.random.PRNGKey(5), 2)
+    pls = np.asarray(jax.device_get(pls))
+    assert pls.shape == (2, 3) and np.all(np.isfinite(pls)), pls
+    crun, cplace2 = driver.make_sharded_clone_chunk(spec, mesh,
+                                                    batch_size=batch)
+    ccarry = cplace2(params0, optim.init(params0,
+                                         {k: 1e-3 for k in params0},
+                                         patience=50),
+                     mix.alive, stop, old_params, old.alive,
+                     (-5.0, -5.0), (5.0, 5.0))
+    ccarry, cls = crun(ccarry, jax.random.PRNGKey(6), 2)
+    cls = np.asarray(jax.device_get(cls))
+    assert cls.shape == (2, 4) and np.all(np.isfinite(cls)), cls
+    print(f"[parallel.dryrun] chunk loops (2 epochs each) project last="
+          f"{pls[-1].round(6).tolist()} clone last="
+          f"{cls[-1].round(6).tolist()} OK")
+
 
 # ---- shard_map path (Pallas-kernel compatible) ----
 #
