@@ -120,6 +120,156 @@ def make_sharded_project_chunk_2d(spec: FieldSpec, mesh: Mesh,
     return run_chunk, place
 
 
+def make_sharded_project_chunk_3d(spec: FieldSpec, mesh: Mesh,
+                                  scene_name: Optional[str], lo, hi,
+                                  boundary_lambda: float = 10.0,
+                                  weights=None, batch_size: int = 8192):
+    """(run_chunk, place): the 3D twin of make_sharded_project_chunk_2d.
+    Carry matches the single-device 3D runner (solver/project.py
+    _runner_3d): (params, opt_state, alive, old_params, old_alive, dt).
+    ``lo``/``hi`` are the static sampling-domain corners (3-tuples)."""
+    epoch = sharding._project_epoch_3d(spec, boundary_lambda, weights)
+    bs_freeslip = None
+    if scene_name is not None:
+        from gaussian_fluids_tpu.scenes import get_scene_3d
+        bs_freeslip = get_scene_3d(scene_name).boundary_sampler
+    shard_map = sharding._shard_map()
+
+    n_batch = mesh.shape["batch"]
+    if batch_size % n_batch:
+        raise ValueError(f"global batch {batch_size} not divisible by the "
+                         f"batch mesh axis ({n_batch})")
+    b_local = batch_size // n_batch
+    lo_j = jnp.asarray(lo, jnp.float32)
+    hi_j = jnp.asarray(hi, jnp.float32)
+
+    pshard = sharding.param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    param_specs = {k: v.spec for k, v in pshard.items()}
+    carry_specs = (param_specs, sharding._opt_specs(pshard), P("gauss"),
+                   param_specs, P("gauss"), P())
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=carry_specs + (P(None, None),),
+        out_specs=(carry_specs, P(None, None)))
+    def chunk_local(params, opt_state, alive, old_params, old_alive, dt,
+                    keys):
+        dev = jax.lax.axis_index("batch")
+
+        def body(carry, key):
+            params, opt_state = carry
+            key = jax.random.fold_in(key, dev)
+            kd, kb = jax.random.split(key)
+            data = jax.random.uniform(kd, (b_local, 3), jnp.float32) \
+                * (hi_j - lo_j) + lo_j
+            if bs_freeslip is not None:
+                bd, bn = bs_freeslip(kb, b_local)
+            else:
+                # scene-less runner: zero normals make the free-slip term
+                # (mean |val . n|) identically zero, grads included
+                bd = jnp.zeros((b_local, 3), jnp.float32)
+                bn = jnp.zeros((b_local, 3), jnp.float32)
+            params, opt_state, ls = epoch(
+                params, opt_state, alive, old_params, old_alive, dt,
+                data, bd, bn)
+            return (params, opt_state), ls
+
+        (params, opt_state), ls = jax.lax.scan(body, (params, opt_state),
+                                               keys)
+        return (params, opt_state, alive, old_params, old_alive, dt), ls
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, key, n):
+        return chunk_local(*carry, jax.random.split(key, n))
+
+    def place(params, opt_state, alive, old_params, old_alive, dt):
+        params = {k: jax.device_put(v, pshard[k]) for k, v in params.items()}
+        old_params = {k: jax.device_put(v, pshard[k])
+                      for k, v in old_params.items()}
+        opt_state = jax.device_put(
+            opt_state, sharding._opt_shardings(mesh, pshard))
+        alive = jax.device_put(alive, alive_shard)
+        old_alive = jax.device_put(old_alive, alive_shard)
+        return (params, opt_state, alive, old_params, old_alive,
+                jnp.asarray(dt, jnp.float32))
+
+    return run_chunk, place
+
+
+def project_3d_sharded(mix: GaussianMixture, spec: FieldSpec,
+                       old_mix: GaussianMixture, dt: float, *,
+                       mesh: Mesh, domain, test_x, key,
+                       scene_name: Optional[str] = None,
+                       weights=None, boundary_lambda: float = 10.0,
+                       lrs: Optional[Dict[str, float]] = None,
+                       batch_size: int = 8192, max_epoch: int = 3000,
+                       patience: int = 500, check_iter: int = 100,
+                       verbose: int = 1) -> GaussianMixture:
+    """Multi-chip twin of solver/project.project_3d (reference
+    3D/advance.py:182-331): every epoch — deformation-chain covector
+    target, helicity head, PCGrad, free-slip boundary — runs dp x tp
+    sharded over ``mesh``."""
+    from gaussian_fluids_tpu.solver.project import _runner_3d, \
+        ProjectWeights
+
+    w = weights or ProjectWeights(delta_pos=0.0)
+    if lrs is None:
+        lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
+               "values": 1e-5}
+    x_min, x_max, y_min, y_max, z_min, z_max = domain
+    lo = (x_min, y_min, z_min)
+    hi = (x_max, y_max, z_max)
+    run_chunk, place = make_sharded_project_chunk_3d(
+        spec, mesh, scene_name, lo, hi, float(boundary_lambda), w,
+        batch_size)
+    _, test_ref_fn, test_fn, _ = _runner_3d(
+        spec, scene_name, w, float(boundary_lambda), batch_size, lo, hi,
+        None)
+
+    test_x = jnp.asarray(test_x)
+    test_x = test_x[jnp.argsort(test_x[:, 0])]
+    params = mix.params()
+    opt_state = optim.init(params, lrs, patience=50)
+    carry = place(params, opt_state, mix.alive, old_mix.params(),
+                  old_mix.alive, dt)
+    dt_j = jnp.asarray(dt, jnp.float32)
+    test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, dt_j)
+
+    if verbose:
+        lv, lh, ld, ldm = jax.device_get(
+            test_fn(carry[0], carry[2], test_x, test_ref))
+        print(f"[projection/sharded] loss_vor: {lv}, loss_hel: {lh}, "
+              f"loss_div: {ld}, loss_div_max: {ldm}")
+
+    pat_vor, pat_hel, pat_div = (Patience(1e-3), Patience(1e-3),
+                                 Patience(1e-3))
+    st = time.time()
+
+    def dispatch(c, n):
+        nonlocal key
+        key, sub = rng_utils.split2(key)
+        c2, _ = run_chunk(c, sub, n)
+        return c2, None, test_fn(c2[0], c2[2], test_x, test_ref)
+
+    def on_chunk(mh, _aux, n):
+        nonlocal st
+        lv, lh, ld, ldm = mh
+        if verbose:
+            print(f"[projection/sharded] loss_vor: {lv}, loss_hel: {lh}, "
+                  f"loss_div: {ld}, loss_div_max: {ldm}, "
+                  f"time: {time.time() - st}")
+            st = time.time()
+        pat_vor.update(float(lv), n)
+        pat_hel.update(float(lh), n)
+        pat_div.update(float(ld), n)
+        return (pat_vor.iters >= patience and pat_hel.iters >= patience
+                and pat_div.iters >= patience)
+
+    carry, _ = run_chunked(carry, dispatch, max_epoch, check_iter,
+                           on_chunk, "projection/sharded")
+    return mix.with_params({k: jnp.asarray(v) for k, v in carry[0].items()})
+
+
 def make_sharded_clone_chunk(spec: FieldSpec, mesh: Mesh,
                              batch_size: int = 512):
     """(run_chunk, place): ``run_chunk(carry, key, n)`` runs n sharded

@@ -665,26 +665,13 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
     return step, place, data_shard
 
 
-def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
-                                 boundary_lambda: float = 10.0,
-                                 weights=None):
-    """(step_fn, place): ONE sharded 3D projection epoch (reference
-    3D/advance.py:182-331 under dp x tp sharding — new scope, SURVEY.md
-    §2.8). Differences from the 2D step: the covector target needs the
-    deformation gradient, so every RK4 stage psums BOTH the partial value
-    and partial Jacobian over the gauss axis before the tangent chain
-    (which is per-batch-row local); the vorticity head also carries the
-    helicity term (reference 3D/GSR.py:508-520); the boundary is the
-    free-slip box sampler. Sample rows arrive pre-sharded as in 2D."""
+def _project_epoch_3d(spec: FieldSpec, boundary_lambda: float, weights):
+    """The per-device 3D projection-epoch math, shared by the one-step
+    shard_map wrapper (make_sharded_project_step_3d) and the scanned chunk
+    runner (parallel/driver.py). Must be called INSIDE shard_map."""
     from gaussian_fluids_tpu.solver.project import ProjectWeights
 
     w = weights or ProjectWeights(delta_pos=0.0)
-    shard_map = _shard_map()
-
-    pshard = param_shardings(mesh)
-    alive_shard = NamedSharding(mesh, P("gauss"))
-    data_shard = NamedSharding(mesh, P("batch", None))
-    param_specs = {k: v.spec for k, v in pshard.items()}
 
     def _covector(old_mix, x, dt, presorted):
         """Sharded advected_vorticity_3d (solver/covector.py): the RK4
@@ -719,14 +706,8 @@ def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
         vor = jnp.linalg.solve(dphi, pb_vor[..., None])[..., 0]
         return vor, hel
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(param_specs, _opt_specs(pshard), P("gauss"), param_specs,
-                  P("gauss"), P(),
-                  P("batch", None), P("batch", None), P("batch", None)),
-        out_specs=(param_specs, _opt_specs(pshard), P()))
-    def step_local(params, opt_state, alive, old_params, old_alive, dt,
-                   data, bd, bn):
+    def epoch(params, opt_state, alive, old_params, old_alive, dt,
+              data, bd, bn):
         old_mix = _mix_of(old_params, old_alive)
         sorting = field._use_pallas(data.shape[0],
                                     params["positions"].shape[0])
@@ -778,6 +759,39 @@ def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
         params, opt_state = optim.step(opt_state, params, grads,
                                        l_vorhel + l_div + l_rest)
         return params, opt_state, jnp.stack([l_vorhel, l_div, bc])
+
+    return epoch
+
+
+def make_sharded_project_step_3d(spec: FieldSpec, mesh: Mesh,
+                                 boundary_lambda: float = 10.0,
+                                 weights=None):
+    """(step_fn, place): ONE sharded 3D projection epoch (reference
+    3D/advance.py:182-331 under dp x tp sharding — new scope, SURVEY.md
+    §2.8). Differences from the 2D step: the covector target needs the
+    deformation gradient, so every RK4 stage psums BOTH the partial value
+    and partial Jacobian over the gauss axis before the tangent chain
+    (which is per-batch-row local); the vorticity head also carries the
+    helicity term (reference 3D/GSR.py:508-520); the boundary is the
+    free-slip box sampler. Sample rows arrive pre-sharded as in 2D."""
+    epoch = _project_epoch_3d(spec, boundary_lambda, weights)
+    shard_map = _shard_map()
+
+    pshard = param_shardings(mesh)
+    alive_shard = NamedSharding(mesh, P("gauss"))
+    data_shard = NamedSharding(mesh, P("batch", None))
+    param_specs = {k: v.spec for k, v in pshard.items()}
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs, _opt_specs(pshard), P("gauss"), param_specs,
+                  P("gauss"), P(),
+                  P("batch", None), P("batch", None), P("batch", None)),
+        out_specs=(param_specs, _opt_specs(pshard), P()))
+    def step_local(params, opt_state, alive, old_params, old_alive, dt,
+                   data, bd, bn):
+        return epoch(params, opt_state, alive, old_params, old_alive, dt,
+                     data, bd, bn)
 
     step = jax.jit(step_local)
 

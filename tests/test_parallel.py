@@ -781,3 +781,73 @@ def test_full_frame_sharded(monkeypatch):
     div1 = float(jnp.abs(losses.divergence(jac1)).mean())
     assert np.isfinite(div1)
     assert div1 <= max(div0, 1e-3) * 2.0, (div0, div1)
+
+
+def test_sharded_project_chunk_3d_matches_step(monkeypatch):
+    """One epoch through the scanned 3D chunk runner must equal the
+    one-step shard_map 3D projection epoch fed the identical samples."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gaussian_fluids_tpu.parallel import driver
+    from gaussian_fluids_tpu.scenes import get_scene_3d
+    from gaussian_fluids_tpu.solver.project import ProjectWeights
+
+    n, b_global = 128, 64
+    dt = jnp.asarray(0.02, jnp.float32)
+    w = ProjectWeights(delta_pos=0.0)
+    spec = FieldSpec.create((-5,) * 3, (5,) * 3, n, d=3, vdim=3)
+    bs = get_scene_3d("ring_collide").boundary_sampler
+
+    def rand_mix(seed):
+        r = np.random.RandomState(seed)
+        m = GaussianMixture.create(r.uniform(-4, 4, (n, 3)), spec,
+                                   pad=False)
+        sca = m.scalings + jnp.asarray(0.2 * r.randn(n, 3), jnp.float32)
+        rot = jnp.asarray(r.randn(n, 4) * 0.1
+                          + np.array([1.0, 0, 0, 0]), jnp.float32)
+        return GaussianMixture(
+            m.positions, sca, rot,
+            jnp.asarray(0.1 * r.randn(n, 3), jnp.float32), m.alive)
+
+    mix, old_mix = rand_mix(21), rand_mix(22)
+    lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
+           "values": 1e-5}
+    mesh = sharding.make_mesh(4, 2)
+    n_batch, b_local = 4, b_global // 4
+    lo = jnp.asarray([-5.0] * 3)
+    hi = jnp.asarray([5.0] * 3)
+
+    run_chunk, place = driver.make_sharded_project_chunk_3d(
+        spec, mesh, "ring_collide", (-5.0,) * 3, (5.0,) * 3, 10.0, w,
+        batch_size=b_global)
+    opt = optim.init(mix.params(), lrs, patience=50)
+    carry = place(mix.params(), opt, mix.alive, old_mix.params(),
+                  old_mix.alive, 0.02)
+    key = jax.random.PRNGKey(9)
+    carry2, ls = run_chunk(carry, key, 1)
+    p_chunk = {k: np.asarray(v) for k, v in carry2[0].items()}
+
+    keys = jax.random.split(key, 1)
+    datas, bds, bns = [], [], []
+    for i in range(n_batch):
+        ki = jax.random.fold_in(keys[0], i)
+        kd, kb = jax.random.split(ki)
+        datas.append(jax.random.uniform(kd, (b_local, 3), jnp.float32)
+                     * (hi - lo) + lo)
+        bd, bn = bs(kb, b_local)
+        bds.append(bd), bns.append(bn)
+    step, splace, data_shard = sharding.make_sharded_project_step_3d(
+        spec, mesh, boundary_lambda=10.0, weights=w)
+    opt2 = optim.init(mix.params(), lrs, patience=50)
+    sp, sopt, salive, sold, sold_alive = splace(
+        mix.params(), opt2, mix.alive, old_mix.params(), old_mix.alive)
+    put_b = lambda a: jax.device_put(a, data_shard)
+    p_step, _, ls2 = step(sp, sopt, salive, sold, sold_alive, dt,
+                          put_b(jnp.concatenate(datas)),
+                          put_b(jnp.concatenate(bds)),
+                          put_b(jnp.concatenate(bns)))
+    np.testing.assert_allclose(np.asarray(ls)[0], np.asarray(ls2),
+                               rtol=1e-5, atol=1e-7)
+    for k in p_chunk:
+        np.testing.assert_allclose(p_chunk[k], np.asarray(p_step[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
