@@ -36,6 +36,9 @@ from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 from gaussian_fluids_tpu.parallel import sharding
 from gaussian_fluids_tpu.solver import optim
+from gaussian_fluids_tpu.solver.project import (
+    _uniform_batch, PATIENCE_REL_2D, PATIENCE_REL_3D, DEFAULT_LRS_2D,
+    DEFAULT_LRS_3D)
 from gaussian_fluids_tpu.solver.loop import Patience, run_chunked
 from gaussian_fluids_tpu.utils import rng as rng_utils
 
@@ -81,8 +84,7 @@ def make_sharded_project_chunk_2d(spec: FieldSpec, mesh: Mesh,
             kd, kb1, kb2 = jax.random.split(key, 3)
             lo = jnp.stack([adv[0], adv[2]]) * sf
             hi = jnp.stack([adv[1], adv[3]]) * sf
-            data = jax.random.uniform(kd, (b_local, 2), jnp.float32) \
-                * (hi - lo) + lo
+            data = _uniform_batch(kd, b_local, lo, hi)
             bd1 = bval1 = bd = bn = bnr = None
             if has_bs1:
                 bd1, bval1 = bs1(kb1, b_local, adv)
@@ -128,11 +130,12 @@ def make_sharded_project_chunk_3d(spec: FieldSpec, mesh: Mesh,
     Carry matches the single-device 3D runner (solver/project.py
     _runner_3d): (params, opt_state, alive, old_params, old_alive, dt).
     ``lo``/``hi`` are the static sampling-domain corners (3-tuples)."""
-    epoch = sharding._project_epoch_3d(spec, boundary_lambda, weights)
     bs_freeslip = None
     if scene_name is not None:
         from gaussian_fluids_tpu.scenes import get_scene_3d
         bs_freeslip = get_scene_3d(scene_name).boundary_sampler
+    epoch = sharding._project_epoch_3d(spec, boundary_lambda, weights,
+                                       has_boundary=bs_freeslip is not None)
     shard_map = sharding._shard_map()
 
     n_batch = mesh.shape["batch"]
@@ -160,13 +163,13 @@ def make_sharded_project_chunk_3d(spec: FieldSpec, mesh: Mesh,
             params, opt_state = carry
             key = jax.random.fold_in(key, dev)
             kd, kb = jax.random.split(key)
-            data = jax.random.uniform(kd, (b_local, 3), jnp.float32) \
-                * (hi_j - lo_j) + lo_j
+            data = _uniform_batch(kd, b_local, lo_j, hi_j)
             if bs_freeslip is not None:
                 bd, bn = bs_freeslip(kb, b_local)
             else:
-                # scene-less runner: zero normals make the free-slip term
-                # (mean |val . n|) identically zero, grads included
+                # scene-less runner: the epoch's boundary branch is
+                # statically removed (has_boundary=False); placeholders
+                # keep the call signature uniform
                 bd = jnp.zeros((b_local, 3), jnp.float32)
                 bn = jnp.zeros((b_local, 3), jnp.float32)
             params, opt_state, ls = epoch(
@@ -214,8 +217,7 @@ def project_3d_sharded(mix: GaussianMixture, spec: FieldSpec,
 
     w = weights or ProjectWeights(delta_pos=0.0)
     if lrs is None:
-        lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
-               "values": 1e-5}
+        lrs = dict(DEFAULT_LRS_3D)
     x_min, x_max, y_min, y_max, z_min, z_max = domain
     lo = (x_min, y_min, z_min)
     hi = (x_max, y_max, z_max)
@@ -241,8 +243,8 @@ def project_3d_sharded(mix: GaussianMixture, spec: FieldSpec,
         print(f"[projection/sharded] loss_vor: {lv}, loss_hel: {lh}, "
               f"loss_div: {ld}, loss_div_max: {ldm}")
 
-    pat_vor, pat_hel, pat_div = (Patience(1e-3), Patience(1e-3),
-                                 Patience(1e-3))
+    pat_vor, pat_hel, pat_div = tuple(
+        Patience(t) for t in PATIENCE_REL_3D)
     st = time.time()
 
     def dispatch(c, n):
@@ -302,8 +304,7 @@ def make_sharded_clone_chunk(spec: FieldSpec, mesh: Mesh,
         def body(carry, key):
             params, opt_state = carry
             kd = jax.random.fold_in(key, dev)
-            x = jax.random.uniform(kd, (b_local, d), jnp.float32) \
-                * (hi - lo) + lo
+            x = _uniform_batch(kd, b_local, lo, hi)
             params, opt_state, aux = epoch(
                 params, opt_state, alive, stop, old_params, old_alive, x)
             return (params, opt_state), aux
@@ -347,7 +348,8 @@ def clone_velocity_field_sharded(old_mix: GaussianMixture, spec: FieldSpec,
     import numpy as np
     from gaussian_fluids_tpu.solver.clone import (
         split_gaussians_2d, split_gaussians_3d, _unfreeze_neighbors,
-        _repad_like, _clone_runner)
+        _repad_like, _clone_runner, PATIENCE_REL_CLONE,
+        DEFAULT_LRS_CLONE_2D, DEFAULT_LRS_CLONE_3D)
 
     rng = np.random.RandomState(seed)
     test_x_s = jnp.asarray(test_x)
@@ -355,13 +357,11 @@ def clone_velocity_field_sharded(old_mix: GaussianMixture, spec: FieldSpec,
     if d == 2:
         new_mix, stop_np, n_split = split_gaussians_2d(old_mix, spec, rng)
         if lrs is None:
-            lrs = {"positions": 1e-2, "scalings": 5e-2, "rotations": 5e-2,
-                   "values": 5e-3}
+            lrs = dict(DEFAULT_LRS_CLONE_2D)
     else:
         new_mix, stop_np, n_split = split_gaussians_3d(old_mix, spec, rng)
         if lrs is None:
-            lrs = {k: 1e-3 for k in ("positions", "scalings", "rotations",
-                                     "values")}
+            lrs = dict(DEFAULT_LRS_CLONE_3D)
     if n_split == 0:
         return new_mix
     stop = _unfreeze_neighbors(new_mix, spec, stop_np)
@@ -384,7 +384,7 @@ def clone_velocity_field_sharded(old_mix: GaussianMixture, spec: FieldSpec,
             test_fn(carry[0], carry[2], test_x_s, test_ref))
         print(f"[clone/sharded] loss: {lv}, loss_grad: {lg}")
 
-    pat_v, pat_g = Patience(1e-3), Patience(1e-3)
+    pat_v, pat_g = tuple(Patience(t) for t in PATIENCE_REL_CLONE)
     st = time.time()
 
     def dispatch(c, n):
@@ -428,8 +428,7 @@ def project_2d_sharded(mix: GaussianMixture, spec: FieldSpec,
 
     w = weights or ProjectWeights()
     if lrs is None:
-        lrs = {"positions": 1e-4, "scalings": 1e-4, "rotations": 1e-4,
-               "values": 1e-4}
+        lrs = dict(DEFAULT_LRS_2D)
     run_chunk, place = make_sharded_project_chunk_2d(
         spec, mesh, scene.name, float(boundary_lambda), w, batch_size)
     # reuse the single-device test fns (solver/project.py)
@@ -454,7 +453,8 @@ def project_2d_sharded(mix: GaussianMixture, spec: FieldSpec,
         print(f"[projection/sharded] loss_vor: {lv}, loss_div: {ld}, "
               f"loss_div_max: {ldm}")
 
-    pat_vor, pat_div = Patience(1e-3), Patience(1e-2)
+    pat_vor, pat_div = (Patience(PATIENCE_REL_2D[0]),
+                        Patience(PATIENCE_REL_2D[1]))
     st = time.time()
 
     def dispatch(c, n):

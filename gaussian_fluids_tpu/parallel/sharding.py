@@ -665,10 +665,14 @@ def make_sharded_project_step_2d(spec: FieldSpec, mesh: Mesh,
     return step, place, data_shard
 
 
-def _project_epoch_3d(spec: FieldSpec, boundary_lambda: float, weights):
+def _project_epoch_3d(spec: FieldSpec, boundary_lambda: float, weights,
+                      has_boundary: bool = True):
     """The per-device 3D projection-epoch math, shared by the one-step
     shard_map wrapper (make_sharded_project_step_3d) and the scanned chunk
-    runner (parallel/driver.py). Must be called INSIDE shard_map."""
+    runner (parallel/driver.py). Must be called INSIDE shard_map.
+    ``has_boundary=False`` (scene-less runner) statically removes the
+    boundary evaluation, like the single-device runner's
+    ``bs_freeslip is not None`` check."""
     from gaussian_fluids_tpu.solver.project import ProjectWeights
 
     w = weights or ProjectWeights(delta_pos=0.0)
@@ -742,7 +746,7 @@ def _project_epoch_3d(spec: FieldSpec, boundary_lambda: float, weights):
                                      alive)
             total = w.aniso * l_aniso + w.vol * l_vol + w.val_reg * vr
             bc = jnp.zeros(())
-            if boundary_lambda > 0.0:
+            if boundary_lambda > 0.0 and has_boundary:
                 vb = _psum_g(field.value(m, spec, bd, presorted=sorting,
                                          need_dx=False))
                 bc = losses.boundary_freeslip_loss(vb, bn)

@@ -169,6 +169,14 @@ def _unfreeze_neighbors(mix: GaussianMixture, spec: FieldSpec,
 
 _mixf = mixture_of
 
+# Reference clone-fit early-stop thresholds and Adam lrs, shared with the
+# multi-chip twin (parallel/driver.py) so the paths cannot drift.
+PATIENCE_REL_CLONE = (1e-3, 1e-3)          # (val, grad)
+DEFAULT_LRS_CLONE_2D = {"positions": 1e-2, "scalings": 5e-2,
+                        "rotations": 5e-2, "values": 5e-3}  # 2D/advance.py:122
+DEFAULT_LRS_CLONE_3D = {"positions": 1e-3, "scalings": 1e-3,
+                        "rotations": 1e-3, "values": 1e-3}  # 3D/advance.py:121-124
+
 
 @functools.lru_cache(maxsize=None)
 def _clone_runner(spec: FieldSpec, batch_size: int,
@@ -312,15 +320,11 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
     if d == 2:
         new_mix, stop_np, n_split = split_gaussians_2d(old_mix, spec, rng)
         if lrs is None:
-            # reference 2D/advance.py:122
-            lrs = {"positions": 1e-2, "scalings": 5e-2, "rotations": 5e-2,
-                   "values": 5e-3}
+            lrs = dict(DEFAULT_LRS_CLONE_2D)
     else:
         new_mix, stop_np, n_split = split_gaussians_3d(old_mix, spec, rng)
         if lrs is None:
-            # reference 3D/advance.py:121-124
-            lrs = {"positions": 1e-3, "scalings": 1e-3, "rotations": 1e-3,
-                   "values": 1e-3}
+            lrs = dict(DEFAULT_LRS_CLONE_3D)
     if n_split == 0:
         return new_mix
     stop = _unfreeze_neighbors(new_mix, spec, stop_np)
@@ -353,7 +357,7 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
         lv, lg = metrics(carry)
         print(f"[clone] loss: {lv}, loss_grad: {lg}")
 
-    pat_v, pat_g = Patience(1e-3), Patience(1e-3)
+    pat_v, pat_g = tuple(Patience(t) for t in PATIENCE_REL_CLONE)
     st = time.time()
 
     def dispatch(c, n):

@@ -60,6 +60,16 @@ def _uniform_batch(key, n, lo, hi):
     return jax.random.uniform(key, (n, d), jnp.float32) * (hi - lo) + lo
 
 
+# Reference early-stop relative-improvement thresholds and Adam lrs, shared
+# with the multi-chip twins (parallel/driver.py) so the paths cannot drift.
+PATIENCE_REL_2D = (1e-3, 1e-2)            # (vor, div) — 2D/advance.py:282
+PATIENCE_REL_3D = (1e-3, 1e-3, 1e-3)      # (vor, hel, div)
+DEFAULT_LRS_2D = {"positions": 1e-4, "scalings": 1e-4, "rotations": 1e-4,
+                  "values": 1e-4}          # reference 2D/advance.py:261
+DEFAULT_LRS_3D = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
+                  "values": 1e-5}          # reference 3D/advance.py:258-261
+
+
 _mix = mixture_of
 
 
@@ -239,9 +249,7 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
     domain and bilinearly interpolated per epoch (opt-in speed/accuracy
     trade; test metrics are always computed against the exact targets)."""
     if lrs is None:
-        # reference 2D/advance.py:261
-        lrs = {"positions": 1e-4, "scalings": 1e-4, "rotations": 1e-4,
-               "values": 1e-4}
+        lrs = dict(DEFAULT_LRS_2D)
     tg = (int(target_grid_res),) * 2 if target_grid_res else None
     runner = _runner_2d(
         spec, scene.name, weights, float(boundary_lambda), batch_size, tg)
@@ -271,7 +279,8 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
         print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
               f"loss_div_max: {ldm}")
 
-    pat_vor, pat_div = Patience(1e-3), Patience(1e-2)
+    pat_vor, pat_div = (Patience(PATIENCE_REL_2D[0]),
+                        Patience(PATIENCE_REL_2D[1]))
     st = time.time()
 
     def dispatch(c, n):
@@ -468,9 +477,7 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
     interpolated per epoch (opt-in speed/accuracy trade; test metrics are
     always computed against the exact targets)."""
     if lrs is None:
-        # reference 3D/advance.py:258-261
-        lrs = {"positions": 3e-4, "scalings": 1e-5, "rotations": 3e-4,
-               "values": 1e-5}
+        lrs = dict(DEFAULT_LRS_3D)
     x_min, x_max, y_min, y_max, z_min, z_max = domain
     tg = (int(target_grid_res),) * 3 if target_grid_res else None
     runner = _runner_3d(
@@ -498,8 +505,8 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
         print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, loss_div: {ld},"
               f" loss_div_max: {ldm}")
 
-    pat_vor, pat_hel, pat_div = (Patience(1e-3), Patience(1e-3),
-                                 Patience(1e-3))
+    pat_vor, pat_hel, pat_div = tuple(
+        Patience(t) for t in PATIENCE_REL_3D)
     curves = {"train_vor": [], "train_div": [], "log_lr": [],
               "test_vor": [], "test_div": []}
     st = time.time()

@@ -891,3 +891,86 @@ def test_project_3d_sharded_runs(monkeypatch):
     # "stays small" (no divergence), not strict monotonicity
     assert ld1 <= max(float(ld0) * 1.5, 1e-2) and lv1 <= 1e-2, \
         (lv0, ld0, lv1, ld1)
+
+
+def test_sharded_chunk_runner_karman_matches_step(monkeypatch):
+    """Karman chunk runner: the in-graph per-device sampling of BOTH
+    boundary samplers (type-1 Dirichlet + type-2 flux) must reproduce the
+    one-step epoch fed the identical samples."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gaussian_fluids_tpu.parallel import driver
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver.project import ProjectWeights
+
+    scene = get_scene_2d("karman")
+    sf = scene.scaling_factor
+    adv = jnp.asarray(scene.advance_domain, jnp.float32)
+    lo = jnp.stack([adv[0], adv[2]]) * sf
+    hi = jnp.stack([adv[1], adv[3]]) * sf
+    n, b_global = 128, 64
+    dt = jnp.asarray(0.05, jnp.float32)
+    w = ProjectWeights()
+    spec = FieldSpec.create(tuple(np.asarray(lo)), tuple(np.asarray(hi)),
+                            n, d=2, vdim=2)
+
+    def rand_mix(seed):
+        r = np.random.RandomState(seed)
+        span = np.asarray(hi) - np.asarray(lo)
+        m = GaussianMixture.create(
+            r.uniform(np.asarray(lo) + 0.1 * span,
+                      np.asarray(hi) - 0.1 * span, (n, 2)), spec,
+            pad=False)
+        sca = m.scalings + jnp.asarray(0.2 * r.randn(n, 2), jnp.float32)
+        rot = jnp.asarray(r.uniform(-1, 1, (n,)), jnp.float32)
+        return GaussianMixture(
+            m.positions, sca, rot,
+            jnp.asarray(0.1 * r.randn(n, 2), jnp.float32), m.alive)
+
+    mix, old_mix = rand_mix(25), rand_mix(26)
+    lrs = {k: 1e-4 for k in mix.params()}
+    mesh = sharding.make_mesh(4, 2)
+    n_batch, b_local = 4, b_global // 4
+
+    run_chunk, place = driver.make_sharded_project_chunk_2d(
+        spec, mesh, "karman", 1.0, w, batch_size=b_global)
+    opt = optim.init(mix.params(), lrs, patience=50)
+    carry = place(mix.params(), opt, mix.alive,
+                  jax.lax.stop_gradient(mix.positions), old_mix.params(),
+                  old_mix.alive, scene.advance_domain, 0.05)
+    key = jax.random.PRNGKey(27)
+    carry2, ls = run_chunk(carry, key, 1)
+    p_chunk = {k: np.asarray(v) for k, v in carry2[0].items()}
+
+    keys = jax.random.split(key, 1)
+    datas, bd1s, bval1s, bds, bns, bnrs = [], [], [], [], [], []
+    for i in range(n_batch):
+        ki = jax.random.fold_in(keys[0], i)
+        kd, kb1, kb2 = jax.random.split(ki, 3)
+        datas.append(jax.random.uniform(kd, (b_local, 2), jnp.float32)
+                     * (hi - lo) + lo)
+        bd1, bval1 = scene.boundary_sampler_1(kb1, b_local, adv)
+        bd, bn, bnr = scene.boundary_sampler_2(kb2, b_local, adv)
+        bd1s.append(bd1), bval1s.append(bval1)
+        bds.append(bd), bns.append(bn), bnrs.append(bnr)
+    step, splace, data_shard = sharding.make_sharded_project_step_2d(
+        spec, mesh, "karman", boundary_lambda=1.0, weights=w)
+    opt2 = optim.init(mix.params(), lrs, patience=50)
+    sp, sopt, salive, spos, sold, sold_alive = splace(
+        mix.params(), opt2, mix.alive,
+        jax.lax.stop_gradient(mix.positions), old_mix.params(),
+        old_mix.alive)
+    put_b = lambda a: jax.device_put(a, data_shard)
+    p_step, _, ls2 = step(sp, sopt, salive, spos, sold, sold_alive, adv,
+                          dt, put_b(jnp.concatenate(datas)),
+                          put_b(jnp.concatenate(bd1s)),
+                          put_b(jnp.concatenate(bval1s)),
+                          put_b(jnp.concatenate(bds)),
+                          put_b(jnp.concatenate(bns)),
+                          jax.device_put(jnp.concatenate(bnrs),
+                                         NamedSharding(mesh, P("batch"))))
+    np.testing.assert_allclose(np.asarray(ls)[0], np.asarray(ls2),
+                               rtol=1e-5, atol=1e-7)
+    for k in p_chunk:
+        np.testing.assert_allclose(p_chunk[k], np.asarray(p_step[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
