@@ -101,3 +101,32 @@ for n in sampled:
     alt, wake_vor = street_alternations(vor, xs)
     print(f"{n:6d} {int(mix.alive.sum()):7d} {np.abs(div).mean():11.3e} "
           f"{np.abs(div).max():10.3e} {wake_vor:14.4f} {alt:20d}")
+
+# ---- shedding frequency / Strouhal number ----
+# Cross-stream velocity v_y probed at a fixed point a few diameters behind
+# the cylinder, across EVERY frame: an established street makes it
+# oscillate; f = shedding frequency, St = f * D / U (U, D in original
+# units — the target-space scaling sf cancels).
+dt_env = float(os.environ.get("GF_DT", "0.05"))
+probe = np.asarray([[cx + 6.0 * radius, cy]], np.float32)
+vy = []
+for n in ns:
+    mix, spec = load_checkpoint(all_frames[n])
+    val, _ = field.eval_on_grid(mix, spec, probe)
+    vy.append(float(val[0, 1]))
+vy = np.asarray(vy)
+half = vy[len(vy) // 2:]                      # established street only
+sgn = np.sign(half - half.mean())
+crossings = int(np.sum(sgn[1:] != sgn[:-1]))
+dur = (len(half) - 1) * dt_env
+if crossings >= 2 and dur > 0:
+    freq = crossings / 2.0 / dur              # 2 crossings per period
+    v_mag = scene.info["v_magnitude"]
+    st = freq * (2.0 * scene.info["obstacle_radius"]) / v_mag
+    print(f"# probe v_y at x=cx+6r over frames {ns[len(vy) // 2]}..{ns[-1]}"
+          f": {crossings} mean-crossings in {dur:.2f}s -> shedding "
+          f"f={freq:.3f} Hz, Strouhal St=f*D/U={st:.3f} "
+          f"(rigid-cylinder reference ~0.2)")
+else:
+    print(f"# no established shedding detected at the probe "
+          f"({crossings} crossings)")
