@@ -32,6 +32,8 @@ jax.config.update("jax_platforms", "cpu")
 from gaussian_fluids_tpu.io.checkpoint import load_checkpoint  # noqa: E402
 from gaussian_fluids_tpu.ops import field  # noqa: E402
 from gaussian_fluids_tpu.scenes import get_scene_2d  # noqa: E402
+from gaussian_fluids_tpu.utils.analysis import (  # noqa: E402
+    shedding_stats, street_alternations)
 
 run_dir = sys.argv[1]
 stride = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -53,23 +55,6 @@ def frames():
         if m:
             out[int(m.group(1))] = f
     return dict(sorted(out.items()))
-
-
-def street_alternations(vor, xs):
-    """Sign alternations of the strongest-|vor| row value per x column,
-    downstream of the cylinder (x > cx + 2r). Noise-gated at 10% of the
-    wake's max |vor|."""
-    wake = xs > cx + 2.0 * radius
-    v = vor[:, wake]
-    if v.size == 0:
-        return 0, 0.0
-    idx = np.argmax(np.abs(v), axis=0)
-    prof = v[idx, np.arange(v.shape[1])]
-    gate = 0.1 * np.abs(v).max()
-    sgn = np.sign(prof) * (np.abs(prof) > gate)
-    sgn = sgn[sgn != 0]
-    alt = int(np.sum(sgn[1:] != sgn[:-1])) if sgn.size else 0
-    return alt, float(np.abs(v).mean())
 
 
 all_frames = frames()
@@ -98,7 +83,7 @@ for n in sampled:
     _, jac = field.eval_on_grid(mix, spec, pts)
     div = (jac[:, 0, 0] + jac[:, 1, 1])[mask_cyl]
     vor = (jac[:, 1, 0] - jac[:, 0, 1]).reshape(RES_Y, RES_X)
-    alt, wake_vor = street_alternations(vor, xs)
+    alt, wake_vor = street_alternations(vor, xs, cx, radius)
     print(f"{n:6d} {int(mix.alive.sum()):7d} {np.abs(div).mean():11.3e} "
           f"{np.abs(div).max():10.3e} {wake_vor:14.4f} {alt:20d}")
 
@@ -114,15 +99,10 @@ for n in ns:
     mix, spec = load_checkpoint(all_frames[n])
     val, _ = field.eval_on_grid(mix, spec, probe)
     vy.append(float(val[0, 1]))
-vy = np.asarray(vy)
-half = vy[len(vy) // 2:]                      # established street only
-sgn = np.sign(half - half.mean())
-crossings = int(np.sum(sgn[1:] != sgn[:-1]))
-dur = (len(half) - 1) * dt_env
-if crossings >= 2 and dur > 0:
-    freq = crossings / 2.0 / dur              # 2 crossings per period
-    v_mag = scene.info["v_magnitude"]
-    st = freq * (2.0 * scene.info["obstacle_radius"]) / v_mag
+crossings, dur, freq, st = shedding_stats(
+    vy, dt_env, 2.0 * scene.info["obstacle_radius"],
+    scene.info["v_magnitude"])
+if freq is not None:
     print(f"# probe v_y at x=cx+6r over frames {ns[len(vy) // 2]}..{ns[-1]}"
           f": {crossings} mean-crossings in {dur:.2f}s -> shedding "
           f"f={freq:.3f} Hz, Strouhal St=f*D/U={st:.3f} "

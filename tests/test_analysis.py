@@ -1,0 +1,62 @@
+"""Unit tests for the shared flow-diagnostic probes (utils/analysis.py).
+
+These formalize the reference's visual regression checks (SURVEY.md §4:
+per-frame PNGs were the only artifacts) into numeric gates.
+"""
+import numpy as np
+
+from gaussian_fluids_tpu.utils.analysis import (shedding_stats,
+                                                street_alternations)
+
+
+def synthetic_street(n_cores=6, res=(80, 200), x_range=(0.0, 20.0)):
+    """Alternating-sign Gaussian vorticity cores along the wake axis."""
+    ny, nx = res
+    xs = np.linspace(*x_range, nx)
+    ys = np.linspace(-4.0, 4.0, ny)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    vor = np.zeros_like(X)
+    for i in range(n_cores):
+        cx = 6.0 + 2.0 * i
+        cy = 1.0 if i % 2 == 0 else -1.0
+        sgn = 1.0 if i % 2 == 0 else -1.0
+        vor += sgn * np.exp(-((X - cx) ** 2 + (Y - cy) ** 2) / 0.5)
+    return vor, xs
+
+
+def test_street_alternations_counts_cores():
+    vor, xs = synthetic_street(n_cores=6)
+    # cylinder at x=2, r=0.5 -> wake starts at x>3, upstream of every core
+    alt, wake_vor = street_alternations(vor, xs, cx=2.0, radius=0.5)
+    assert alt == 5  # 6 alternating cores -> 5 sign changes
+    assert wake_vor > 0
+
+
+def test_street_alternations_laminar_is_quiet():
+    vor = np.full((40, 100), 1e-6)
+    xs = np.linspace(0.0, 10.0, 100)
+    alt, _ = street_alternations(vor, xs, cx=2.0, radius=0.5)
+    assert alt == 0
+
+
+def test_street_alternations_empty_wake():
+    vor, xs = synthetic_street()
+    alt, wake_vor = street_alternations(vor, xs, cx=100.0, radius=1.0)
+    assert (alt, wake_vor) == (0, 0.0)
+
+
+def test_shedding_stats_recovers_sine_frequency():
+    dt, f_true = 0.05, 1.25
+    t = np.arange(400) * dt
+    vy = np.sin(2 * np.pi * f_true * t)
+    crossings, dur, freq, st = shedding_stats(vy, dt, diameter=0.5,
+                                              u_mag=2.0)
+    assert freq is not None
+    assert abs(freq - f_true) / f_true < 0.1
+    assert abs(st - f_true * 0.5 / 2.0) / (f_true * 0.25) < 0.1
+
+
+def test_shedding_stats_flat_signal_no_shedding():
+    vy = np.zeros(50)
+    crossings, dur, freq, st = shedding_stats(vy, 0.05, 0.5, 2.0)
+    assert freq is None and st is None
