@@ -1,0 +1,96 @@
+"""End-to-end tests for the run-analyzer scripts (scripts/analyze_*.py).
+
+Each test synthesizes a tiny run directory of reference-format
+``gaussian_velocity_{n}.pt`` checkpoints and runs the analyzer as a real
+subprocess (the way a user does), asserting it reports every frame and
+exits cleanly. This covers the load_checkpoint -> eval_on_grid -> probe
+glue that unit tests on utils.analysis alone cannot.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gaussian_fluids_tpu.config import FieldSpec
+from gaussian_fluids_tpu.io.checkpoint import save_checkpoint
+from gaussian_fluids_tpu.models.mixture import GaussianMixture
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mixture(lo, hi, n, d, rng):
+    spec = FieldSpec.create(lo, hi, n, d=d, vdim=d)
+    pts = rng.uniform(np.asarray(lo) + 0.1, np.asarray(hi) - 0.1,
+                      size=(n, d)).astype(np.float32)
+    mix = GaussianMixture.create(pts, spec)
+    p = mix.params()
+    vals = rng.normal(0.0, 0.5, size=p["values"].shape).astype(np.float32)
+    mix = mix.with_params({**p, "values": vals * np.asarray(mix.alive)[:, None]})
+    return mix, spec
+
+
+def _write_run(tmp_path, lo, hi, n, d, frames):
+    rng = np.random.default_rng(0)
+    for i in range(frames):
+        mix, spec = _mixture(lo, hi, n, d, rng)
+        f = os.path.join(tmp_path, f"gaussian_velocity_{i}.pt")
+        save_checkpoint(f, mix, spec)
+        # distinct mtimes so the wall-clock stats path executes
+        os.utime(f, (1.0e9 + 10.0 * i, 1.0e9 + 10.0 * i))
+    return tmp_path
+
+
+def _run(script, *args):
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""),
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", script), *args],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+@pytest.mark.slow
+def test_analyze_leapfrog2d(tmp_path):
+    run = _write_run(str(tmp_path), (-5.2, -4.2), (5.2, 4.2), 24, 2,
+                     frames=3)
+    out = _run("analyze_leapfrog2d.py", run, "2")
+    # frames 0, 2 sampled (stride 2) + last frame
+    for tok in ("per-frame wall-clock", "mean|div|"):
+        assert tok in out
+    rows = [l for l in out.splitlines()
+            if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
+    assert len(rows) == 2  # frames 0 and 2
+
+
+@pytest.mark.slow
+def test_analyze_karman2d(tmp_path):
+    # karman checkpoints live in the scaled target space; the analyzer
+    # probes the scene's visualize domain, so the synthetic field just has
+    # to cover it (scaling_factor ~ 10/6 on the 25x6 domain).
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    scene = get_scene_2d("karman")
+    sf = scene.scaling_factor
+    (x0, x1, y0, y1) = np.asarray(scene.visualize_domain) * sf
+    run = _write_run(str(tmp_path), (x0 - 1, y0 - 1), (x1 + 1, y1 + 1),
+                     24, 2, frames=3)
+    out = _run("analyze_karman2d.py", run, "2")
+    assert "street alternations" in out
+    assert "shedding" in out  # either the estimate or the no-shedding line
+    rows = [l for l in out.splitlines()
+            if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
+    assert len(rows) == 2
+
+
+@pytest.mark.slow
+def test_analyze_ring3d(tmp_path):
+    run = _write_run(str(tmp_path), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                     16, 3, frames=2)
+    out = _run("analyze_ring3d.py", run, "1", "8")
+    assert "r_ring" in out
+    rows = [l for l in out.splitlines()
+            if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
+    assert len(rows) == 2
