@@ -172,3 +172,15 @@ def write_obj(path, vertices, normals, faces):
         for f in faces:
             fd.write(f"f {f[0]+1}//{f[0]+1} {f[1]+1}//{f[1]+1} "
                      f"{f[2]+1}//{f[2]+1}\n")
+
+
+def write_centers_obj(mix, path: str) -> None:
+    """Dump the alive Gaussian centres as OBJ ``v`` lines — the
+    reference's point-cloud debug dump (3D/GSR.py:743-748; defined there
+    but uncalled). Works for 2D mixtures too (z = 0)."""
+    pos = np.asarray(mix.positions)[np.asarray(mix.alive)]
+    if pos.shape[1] == 2:
+        pos = np.concatenate([pos, np.zeros((len(pos), 1), pos.dtype)], 1)
+    with open(path, "w") as fd:
+        for p in pos:
+            fd.write(f"v {p[0]} {p[1]} {p[2]}\n")

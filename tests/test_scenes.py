@@ -135,3 +135,26 @@ def test_karman_moving_domain_hooks():
     # non-karman scenes: no-op
     lf = get_scene_2d("leapfrog")
     assert lf.extra_advect(lf.advance_domain, dt) == lf.advance_domain
+
+
+def test_write_centers_obj(tmp_path):
+    """Reference parity: the Gaussian-centres OBJ dump (3D/GSR.py:745-748)
+    writes one `v` line per ALIVE Gaussian."""
+    from gaussian_fluids_tpu.config import FieldSpec
+    from gaussian_fluids_tpu.models.mixture import GaussianMixture
+    from gaussian_fluids_tpu.scenes.mesh import write_centers_obj
+
+    pts = np.asarray([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]], np.float32)
+    spec = FieldSpec.create((0, 0, 0), (1, 1, 1), 2, d=3, vdim=3)
+    mix = GaussianMixture.create(pts, spec)  # pads to a 512 bucket
+    p = str(tmp_path / "centers.obj")
+    write_centers_obj(mix, p)
+    lines = open(p).read().splitlines()
+    assert len(lines) == 2 and all(l.startswith("v ") for l in lines)
+    assert np.allclose([float(x) for x in lines[0].split()[1:]], pts[0])
+    # 2D mixtures get z = 0
+    spec2 = FieldSpec.create((0, 0), (1, 1), 2, d=2, vdim=2)
+    mix2 = GaussianMixture.create(pts[:, :2], spec2)
+    write_centers_obj(mix2, p)
+    lines = open(p).read().splitlines()
+    assert len(lines) == 2 and lines[0].split()[3] == "0.0"
