@@ -5,10 +5,12 @@
 """
 from gaussian_fluids_tpu.cli import parse_args_2d
 from gaussian_fluids_tpu.solver.simulate2d import advance_2d
+from gaussian_fluids_tpu.utils.profiling import maybe_trace
 
 if __name__ == "__main__":
     args = parse_args_2d(default_max_epoch=20000)
-    advance_2d(args.init_cond, args.dir, args.dt, args.last_time,
-               start_frame=args.start_frame, max_epoch=args.max_epoch,
-               seed=args.seed, viz=not args.no_viz,
-               target_grid_res=args.target_grid)
+    with maybe_trace(args.profile):
+        advance_2d(args.init_cond, args.dir, args.dt, args.last_time,
+                   start_frame=args.start_frame, max_epoch=args.max_epoch,
+                   seed=args.seed, viz=not args.no_viz,
+                   target_grid_res=args.target_grid)

@@ -5,8 +5,10 @@
 """
 from gaussian_fluids_tpu.cli import parse_args_3d
 from gaussian_fluids_tpu.solver.simulate3d import advance_density
+from gaussian_fluids_tpu.utils.profiling import maybe_trace
 
 if __name__ == "__main__":
     args = parse_args_3d()
-    advance_density(args.init_cond, args.dir, args.dt,
-                    res_multiplier=args.density_res_multiplier)
+    with maybe_trace(args.profile):
+        advance_density(args.init_cond, args.dir, args.dt,
+                        res_multiplier=args.density_res_multiplier)

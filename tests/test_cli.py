@@ -31,6 +31,30 @@ def test_overrides_parse():
     assert a.no_viz and a.seed == 1
 
 
+def test_profile_flag_captures_trace(tmp_path):
+    """--profile DIR wraps the run in a jax.profiler trace
+    (utils.profiling.maybe_trace) and leaves TensorBoard/Perfetto
+    artifacts in DIR; --profile absent is a no-op."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_fluids_tpu.utils.profiling import maybe_trace
+
+    assert parse_args_2d([]).profile is None
+    prof_dir = str(tmp_path / "prof")
+    a = parse_args_2d(["--profile", prof_dir])
+    with maybe_trace(a.profile):
+        float(jax.jit(lambda x: x * 2)(jnp.ones(4))[0])
+    found = []
+    for root, _dirs, files in os.walk(prof_dir):
+        found += [os.path.join(root, f) for f in files]
+    assert found, "no trace artifacts written"
+    with maybe_trace(None):  # no-op path
+        pass
+
+
 def test_checkpoint_npz_fallback_loads_with_torch_present(tmp_path):
     """A checkpoint written by a torch-less environment (.npz sidecar) must
     load in a torch-equipped one (io/checkpoint.py probes what exists)."""
