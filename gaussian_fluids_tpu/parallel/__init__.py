@@ -11,3 +11,5 @@ from gaussian_fluids_tpu.parallel.driver import (  # noqa: F401
     make_sharded_project_chunk_2d, project_2d_sharded,
     make_sharded_project_chunk_3d, project_3d_sharded,
     make_sharded_clone_chunk, clone_velocity_field_sharded)
+from gaussian_fluids_tpu.parallel.density import (  # noqa: F401
+    make_sharded_density_step, advected_density_sharded)

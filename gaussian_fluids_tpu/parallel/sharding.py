@@ -230,6 +230,26 @@ def dryrun(n_devices: int, batch: int = 64, n_gaussians: int = 128) -> None:
           f"{pls[-1].round(6).tolist()} clone last="
           f"{cls[-1].round(6).tolist()} OK")
 
+    # and the sharded smoke-density step (L7: semi-Lagrangian backtrace of
+    # a density volume, batch-sharded grid nodes x gauss-sharded field).
+    from gaussian_fluids_tpu.parallel import density as pdensity
+    spec3 = FieldSpec.create((-1, -1, -1), (1, 1, 1), n_gaussians, d=3,
+                             vdim=3)
+    mix3 = GaussianMixture.create(
+        rng.uniform(-0.8, 0.8, (n_gaussians, 3)), spec3, pad=False)
+    mix3 = GaussianMixture(
+        mix3.positions, mix3.scalings, mix3.rotations,
+        jnp.asarray(0.1 * rng.randn(n_gaussians, 3), jnp.float32),
+        mix3.alive)
+    dom3 = (-1.0, 1.0, -1.0, 1.0, -1.0, 1.0)
+    dens = pdensity.advected_density_sharded(
+        jnp.asarray(rng.rand(8, 8, 8), jnp.float32), mix3, spec3, dom3,
+        0.05, (8, 8, 8), mesh, chunk=8 * n_devices)
+    dens = np.asarray(jax.device_get(dens))
+    assert dens.shape == (8, 8, 8) and np.all(np.isfinite(dens))
+    print(f"[parallel.dryrun] sharded density step mean={dens.mean():.6f} "
+          f"OK")
+
 
 # ---- shard_map path (Pallas-kernel compatible) ----
 #
