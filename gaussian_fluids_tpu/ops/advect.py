@@ -53,6 +53,18 @@ def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     return phi, dphi, v_phi, dv_phi
 
 
+def rk4_pos_stages(f, x: jnp.ndarray, dt) -> jnp.ndarray:
+    """Classic position-only RK4 through an arbitrary velocity closure
+    ``f(points) -> velocities`` — THE single copy of the stage sequence
+    (reference 2D/GSR.py:560-564); every value-only advection/backtrace
+    path builds on it so the stage math cannot drift between copies."""
+    v = f(x)
+    v1 = f(x + dt * 0.5 * v)
+    v2 = f(x + dt * 0.5 * v1)
+    v3 = f(x + dt * v2)
+    return x + dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+
+
 def rk4_advect_pos(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
                    dt, presorted: bool = False) -> jnp.ndarray:
     """Position-only RK4 (reference ``pos_only=True``, 2D/GSR.py:560-564):
@@ -60,11 +72,7 @@ def rk4_advect_pos(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     skipped entirely (value-only kernel mode on the Pallas path)."""
     f = lambda p: field.value(mix, spec, p, presorted=presorted,
                               need_dx=False)
-    v = f(x)
-    v1 = f(x + dt * 0.5 * v)
-    v2 = f(x + dt * 0.5 * v1)
-    v3 = f(x + dt * v2)
-    return x + dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+    return rk4_pos_stages(f, x, dt)
 
 
 def rk4_advect_culled(mix, spec, x, dt, grid):
@@ -72,9 +80,5 @@ def rk4_advect_culled(mix, spec, x, dt, grid):
     (the 512^3 density backtrace, reference 3D/advance_density.py:52-59)
     where the dense (B, N) sweep would be prohibitive."""
     from gaussian_fluids_tpu.ops import grid as grid_ops
-    f = lambda p: grid_ops.value_culled(mix, spec, p, grid)
-    v = f(x)
-    v1 = f(x + dt * 0.5 * v)
-    v2 = f(x + dt * 0.5 * v1)
-    v3 = f(x + dt * v2)
-    return x + dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+    return rk4_pos_stages(
+        lambda p: grid_ops.value_culled(mix, spec, p, grid), x, dt)

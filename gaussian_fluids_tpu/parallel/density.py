@@ -22,18 +22,22 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 from gaussian_fluids_tpu.ops import field, interp
+from gaussian_fluids_tpu.ops.advect import rk4_pos_stages
 from gaussian_fluids_tpu.parallel.sharding import (_mix_of, _shard_map,
                                                    param_shardings)
 
 
+@functools.lru_cache(maxsize=None)
 def make_sharded_density_step(spec: FieldSpec, mesh: Mesh, domain: tuple):
-    """(step_fn, place): one semi-Lagrangian density step under shard_map.
+    """(step_fn, place, data_shard): one semi-Lagrangian density step under
+    shard_map, cached per (spec, mesh, domain) — fresh jit closures would
+    re-lower per replay frame, which costs tens of seconds on the tunneled
+    runtime (see solver/simulate3d.py ``_density_step_pallas``).
 
     ``step_fn(params, alive, xc, dens, dtj)`` RK4-backtraces the
     batch-sharded query chunk ``xc`` through the gauss-sharded velocity
@@ -41,7 +45,7 @@ def make_sharded_density_step(spec: FieldSpec, mesh: Mesh, domain: tuple):
     trilinearly samples the replicated old density — the reference's
     ``advected_density`` body (3D/advance_density.py:52-59) as one SPMD
     program. ``place(params, alive, dens)`` lays the operands onto the
-    mesh; chunk placement uses the returned ``data_shard``.
+    mesh; chunks go onto ``data_shard``.
     """
     shard_map = _shard_map()
     pshard = param_shardings(mesh)
@@ -60,15 +64,13 @@ def make_sharded_density_step(spec: FieldSpec, mesh: Mesh, domain: tuple):
         m = _mix_of(params, alive)
         # partial sum over this device's Gaussians -> exact global value
         # (the -clamp_threshold truncation is per supported Gaussian, see
-        # parallel/sharding.py local_loss note)
+        # parallel/sharding.py local_loss note). Grid-node chunks are
+        # x-sorted by construction and contiguous batch sharding keeps each
+        # shard sorted; presorted only loosens Pallas tile bounds for the
+        # drifted inner stages (never correctness — ops/field.py value).
         f = lambda q: jax.lax.psum(
-            field.value(m, spec, q, need_dx=False), "gauss")
-        v = f(xc)
-        v1 = f(xc - dtj * 0.5 * v)
-        v2 = f(xc - dtj * 0.5 * v1)
-        v3 = f(xc - dtj * v2)
-        bk = xc - dtj / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
-        bk = jnp.clip(bk, lo, hi)
+            field.value(m, spec, q, presorted=True, need_dx=False), "gauss")
+        bk = jnp.clip(rk4_pos_stages(f, xc, -dtj), lo, hi)
         return interp.trilinear_interp(dens, bk, domain)
 
     step = jax.jit(step_local)
@@ -82,6 +84,21 @@ def make_sharded_density_step(spec: FieldSpec, mesh: Mesh, domain: tuple):
     return step, place, data_shard
 
 
+@functools.lru_cache(maxsize=2)
+def _grid_chunks_sharded(domain: tuple, grid_shape: tuple, chunk: int,
+                         mesh: Mesh):
+    """Mesh-resident query-point chunks: constant across frames AND
+    densities, so upload once per process (the single-device path's
+    ``_grid_chunks_device`` rationale — at 512^3 re-sending the 1.6 GB
+    grid per sweep was the largest term of the replay frame time)."""
+    from gaussian_fluids_tpu.solver.simulate3d import _grid_pts_padded
+    data_shard = NamedSharding(mesh, P("batch", None))
+    pts_p, n = _grid_pts_padded(domain, grid_shape, chunk)
+    chunks = [jax.device_put(pts_p[i:i + chunk], data_shard)
+              for i in range(0, pts_p.shape[0], chunk)]
+    return chunks, n
+
+
 def advected_density_sharded(density, mix: GaussianMixture, spec: FieldSpec,
                              domain, dt, grid_shape, mesh: Mesh,
                              chunk: int = 262144):
@@ -89,18 +106,19 @@ def advected_density_sharded(density, mix: GaussianMixture, spec: FieldSpec,
     (xn, yn, zn) density volume over the mesh. Chunks stream through the
     device-side step asynchronously; the caller fetches the final volume
     once (for the .vti write), exactly like the single-device driver."""
-    from gaussian_fluids_tpu.solver.simulate3d import _grid_pts_padded
     xn, yn, zn = grid_shape
+    if jax.default_backend() not in ("tpu", "axon"):
+        # dense backend: bound the per-device (B, N) kernel matrix exactly
+        # as the single-device sweep does (solver/simulate3d.py
+        # advected_density), floored to a power of two for cache stability
+        cap_chunk = max(4096, (1 << 29) // max(mix.capacity, 1))
+        chunk = min(chunk, 1 << (cap_chunk.bit_length() - 1))
     n_batch = mesh.shape["batch"]
     chunk = max(n_batch, chunk - chunk % n_batch)
-    step, place, data_shard = make_sharded_density_step(
-        spec, mesh, tuple(domain))
+    step, place, _ = make_sharded_density_step(spec, mesh, tuple(domain))
     params, alive, dens = place(mix.params(), mix.alive,
                                 jnp.asarray(density))
-    pts_p, n = _grid_pts_padded(tuple(domain), (xn, yn, zn), chunk)
+    xcs, n = _grid_chunks_sharded(tuple(domain), (xn, yn, zn), chunk, mesh)
     dtj = jnp.asarray(dt, jnp.float32)
-    outs = []
-    for i in range(0, pts_p.shape[0], chunk):
-        xc = jax.device_put(pts_p[i:i + chunk], data_shard)
-        outs.append(step(params, alive, xc, dens, dtj))
+    outs = [step(params, alive, xc, dens, dtj) for xc in xcs]
     return jnp.concatenate(outs)[:n].reshape(xn, yn, zn)

@@ -343,13 +343,10 @@ def _density_step_pallas(spec, domain, band, sorted_input: bool = False):
             order = jnp.argsort(xc[:, 0])
             inv = jnp.argsort(order)
             xs = xc[order]
-        f = lambda q: field_ops.value_banded(m, spec, q, band,
-                                             presorted=True)
-        v = f(xs)
-        v1 = f(xs + -dtj * 0.5 * v)
-        v2 = f(xs + -dtj * 0.5 * v1)
-        v3 = f(xs + -dtj * v2)
-        bk = xs + -dtj / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+        from gaussian_fluids_tpu.ops.advect import rk4_pos_stages
+        bk = rk4_pos_stages(
+            lambda q: field_ops.value_banded(m, spec, q, band,
+                                             presorted=True), xs, -dtj)
         bk = jnp.clip(bk, lo, hi)
         if not sorted_input:
             bk = bk[inv]
@@ -370,13 +367,10 @@ def _backtrace_step_pallas(spec, band):
         order = jnp.argsort(xc[:, 0])
         inv = jnp.argsort(order)
         xs = xc[order]
-        f = lambda q: field_ops.value_banded(m, spec, q, band,
-                                             presorted=True)
-        v = f(xs)
-        v1 = f(xs + -dtj * 0.5 * v)
-        v2 = f(xs + -dtj * 0.5 * v1)
-        v3 = f(xs + -dtj * v2)
-        return (xs + -dtj / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3))[inv]
+        from gaussian_fluids_tpu.ops.advect import rk4_pos_stages
+        return rk4_pos_stages(
+            lambda q: field_ops.value_banded(m, spec, q, band,
+                                             presorted=True), xs, -dtj)[inv]
 
     return bt
 

@@ -28,15 +28,10 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-@contextlib.contextmanager
 def maybe_trace(log_dir):
     """``trace`` when a directory is given, no-op when None — the CLI's
     ``--profile DIR`` wiring."""
-    if log_dir:
-        with trace(log_dir):
-            yield
-    else:
-        yield
+    return trace(log_dir) if log_dir else contextlib.nullcontext()
 
 
 def hard_sync(tree):

@@ -1003,3 +1003,14 @@ def test_sharded_density_step_matches_single_device(monkeypatch):
         dens0, mix, spec, domain, dt, gs, mesh, chunk=512))
     assert out.shape == gs
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    # the fused value kernel per shard (interpret mode on CPU) — the path
+    # real multi-chip TPU runs take, since XLA cannot partition pallas_call
+    monkeypatch.setenv("GF_FIELD_BACKEND", "pallas")
+    make_sharded_density_step = pdensity.make_sharded_density_step
+    make_sharded_density_step.cache_clear()
+    pdensity._grid_chunks_sharded.cache_clear()
+    outp = np.asarray(pdensity.advected_density_sharded(
+        dens0, mix, spec, domain, dt, gs, mesh, chunk=512))
+    make_sharded_density_step.cache_clear()
+    np.testing.assert_allclose(outp, ref, rtol=1e-4, atol=1e-5)
