@@ -38,10 +38,12 @@ def _common(parser: argparse.ArgumentParser, dim: int):
     parser.add_argument("--no_viz", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
-                        help="capture a jax.profiler trace of the whole run "
-                             "into DIR (TensorBoard/Perfetto format); the "
-                             "reference's only instrumentation is printed "
-                             "wall-clock deltas (SURVEY.md §5)")
+                        help="capture a jax.profiler trace of the run "
+                             "into DIR (TensorBoard/Perfetto format; "
+                             "capture stops after GF_PROFILE_SECONDS, "
+                             "default 300, so long runs stay tractable); "
+                             "the reference's only instrumentation is "
+                             "printed wall-clock deltas (SURVEY.md §5)")
     return parser
 
 

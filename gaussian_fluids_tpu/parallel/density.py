@@ -84,21 +84,6 @@ def make_sharded_density_step(spec: FieldSpec, mesh: Mesh, domain: tuple):
     return step, place, data_shard
 
 
-@functools.lru_cache(maxsize=2)
-def _grid_chunks_sharded(domain: tuple, grid_shape: tuple, chunk: int,
-                         mesh: Mesh):
-    """Mesh-resident query-point chunks: constant across frames AND
-    densities, so upload once per process (the single-device path's
-    ``_grid_chunks_device`` rationale — at 512^3 re-sending the 1.6 GB
-    grid per sweep was the largest term of the replay frame time)."""
-    from gaussian_fluids_tpu.solver.simulate3d import _grid_pts_padded
-    data_shard = NamedSharding(mesh, P("batch", None))
-    pts_p, n = _grid_pts_padded(domain, grid_shape, chunk)
-    chunks = [jax.device_put(pts_p[i:i + chunk], data_shard)
-              for i in range(0, pts_p.shape[0], chunk)]
-    return chunks, n
-
-
 def advected_density_sharded(density, mix: GaussianMixture, spec: FieldSpec,
                              domain, dt, grid_shape, mesh: Mesh,
                              chunk: int = 262144):
@@ -115,10 +100,15 @@ def advected_density_sharded(density, mix: GaussianMixture, spec: FieldSpec,
         chunk = min(chunk, 1 << (cap_chunk.bit_length() - 1))
     n_batch = mesh.shape["batch"]
     chunk = max(n_batch, chunk - chunk % n_batch)
-    step, place, _ = make_sharded_density_step(spec, mesh, tuple(domain))
+    from gaussian_fluids_tpu.solver.simulate3d import _grid_chunks_device
+    step, place, data_shard = make_sharded_density_step(
+        spec, mesh, tuple(domain))
     params, alive, dens = place(mix.params(), mix.alive,
                                 jnp.asarray(density))
-    xcs, n = _grid_chunks_sharded(tuple(domain), (xn, yn, zn), chunk, mesh)
+    # mesh-resident chunks, uploaded once per process (shared cache with
+    # the single-device sweep; sharding keys the cache entry)
+    xcs, n = _grid_chunks_device(tuple(domain), (xn, yn, zn), chunk,
+                                 data_shard)
     dtj = jnp.asarray(dt, jnp.float32)
     outs = [step(params, alive, xc, dens, dtj) for xc in xcs]
     return jnp.concatenate(outs)[:n].reshape(xn, yn, zn)

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
-from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.ops import advect, field
 from gaussian_fluids_tpu.solver import losses, optim
 
 
@@ -551,11 +551,7 @@ def _project_epoch_2d(spec: FieldSpec, scene_name: str,
             f = lambda p: _psum_g(field.value(old_mix, spec, p,
                                               presorted=sorting,
                                               need_dx=False))
-            v = f(x)
-            v1 = f(x - dt * 0.5 * v)
-            v2 = f(x - dt * 0.5 * v1)
-            v3 = f(x - dt * v2)
-            bk_x = x - dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
+            bk_x = advect.rk4_pos_stages(f, x, -dt)
             _, dv = field.value_and_jac(old_mix, spec, bk_x,
                                         presorted=sorting, need_dx=False)
             vor = losses.curl2d(_psum_g(dv))

@@ -202,15 +202,18 @@ def _grid_pts_padded(domain: tuple, grid_shape: tuple, chunk: int):
     return np.concatenate([pts, np.repeat(pts[-1:], pad, 0)]), n
 
 
-@functools.lru_cache(maxsize=2)
-def _grid_chunks_device(domain: tuple, grid_shape: tuple, chunk: int):
+@functools.lru_cache(maxsize=4)
+def _grid_chunks_device(domain: tuple, grid_shape: tuple, chunk: int,
+                        sharding=None):
     """Device-resident query-point chunks for the density sweep. The grid
     nodes are constant across frames AND densities, but uploading them per
     sweep cost 1.6 GB of host->device traffic per density at 512^3 — ~3 min
     per density on the ~8 MB/s tunneled runtime, the single largest term of
-    the replay frame time. Upload once per process and reuse."""
+    the replay frame time. Upload once per process and reuse. ``sharding``
+    (a hashable jax.sharding.Sharding) lays each chunk onto a mesh for the
+    multi-chip sweep (parallel/density.py)."""
     pts_p, n = _grid_pts_padded(domain, grid_shape, chunk)
-    chunks = [jax.device_put(pts_p[i:i + chunk])
+    chunks = [jax.device_put(pts_p[i:i + chunk], sharding)
               for i in range(0, pts_p.shape[0], chunk)]
     return chunks, n
 

@@ -11,6 +11,8 @@ The reference's only instrumentation is wall-clock deltas printed every
 from __future__ import annotations
 
 import contextlib
+import os
+import threading
 import time
 from collections import defaultdict
 from typing import Dict
@@ -19,19 +21,45 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str):
-    """jax.profiler trace context: with profiling.trace('/tmp/prof'): ..."""
+def trace(log_dir: str, limit_s: float = 0):
+    """jax.profiler trace context: with profiling.trace('/tmp/prof'): ...
+
+    ``limit_s`` > 0 stops the capture after that much wall-clock even if
+    the block keeps running: the profiler buffers every event in host
+    memory until stop, so an unbounded capture around an hours-long run
+    (the reference workloads) grows without limit and dumps a trace no
+    viewer loads. The timer makes ``--profile`` safe on real runs — the
+    first ``limit_s`` seconds cover compile + steady-state epochs."""
+    lock = threading.Lock()
+    open_ = [True]
+
+    def stop():
+        with lock:
+            if open_[0]:
+                open_[0] = False
+                jax.profiler.stop_trace()
+
     jax.profiler.start_trace(log_dir)
+    timer = None
+    if limit_s and limit_s > 0:
+        timer = threading.Timer(limit_s, stop)
+        timer.daemon = True
+        timer.start()
     try:
         yield
     finally:
-        jax.profiler.stop_trace()
+        if timer is not None:
+            timer.cancel()
+        stop()
 
 
 def maybe_trace(log_dir):
     """``trace`` when a directory is given, no-op when None — the CLI's
-    ``--profile DIR`` wiring."""
-    return trace(log_dir) if log_dir else contextlib.nullcontext()
+    ``--profile DIR`` wiring. The capture window defaults to 300 s of
+    wall-clock (GF_PROFILE_SECONDS overrides; 0 = unbounded)."""
+    if not log_dir:
+        return contextlib.nullcontext()
+    return trace(log_dir, float(os.environ.get("GF_PROFILE_SECONDS", "300")))
 
 
 def hard_sync(tree):

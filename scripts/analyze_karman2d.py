@@ -89,21 +89,34 @@ for n in sampled:
 
 # ---- shedding frequency / Strouhal number ----
 # Cross-stream velocity v_y probed at a fixed point a few diameters behind
-# the cylinder, across EVERY frame: an established street makes it
+# the cylinder, one sample per frame: an established street makes it
 # oscillate; f = shedding frequency, St = f * D / U (U, D in original
-# units — the target-space scaling sf cancels).
+# units — the target-space scaling sf cancels). The crossing count and
+# duration assume uniform dt spacing, so only the longest gapless
+# (consecutive frame numbers) run of checkpoints is used.
 dt_env = float(os.environ.get("GF_DT", "0.05"))
+print(f"# assuming frame spacing dt={dt_env} s "
+      f"(set GF_DT to the run's --dt if different)")
+best = cur = [ns[0]]
+for a, b in zip(ns, ns[1:]):
+    cur = cur + [b] if b == a + 1 else [b]
+    if len(cur) > len(best):
+        best = cur
+if len(best) < len(ns):
+    print(f"# note: checkpoints are not consecutive; probing the longest "
+          f"gapless run, frames {best[0]}..{best[-1]} "
+          f"({len(best)} of {len(ns)})")
 probe = np.asarray([[cx + 6.0 * radius, cy]], np.float32)
 vy = []
-for n in ns:
+for n in best:
     mix, spec = load_checkpoint(all_frames[n])
-    val, _ = field.eval_on_grid(mix, spec, probe)
-    vy.append(float(val[0, 1]))
+    vy.append(float(field.value(mix, spec, probe, need_dx=False)[0, 1]))
 crossings, dur, freq, st = shedding_stats(
     vy, dt_env, 2.0 * scene.info["obstacle_radius"],
     scene.info["v_magnitude"])
 if freq is not None:
-    print(f"# probe v_y at x=cx+6r over frames {ns[len(vy) // 2]}..{ns[-1]}"
+    print(f"# probe v_y at x=cx+6r over frames "
+          f"{best[len(vy) // 2]}..{best[-1]}"
           f": {crossings} mean-crossings in {dur:.2f}s -> shedding "
           f"f={freq:.3f} Hz, Strouhal St=f*D/U={st:.3f} "
           f"(rigid-cylinder reference ~0.2)")

@@ -1009,7 +1009,7 @@ def test_sharded_density_step_matches_single_device(monkeypatch):
     monkeypatch.setenv("GF_FIELD_BACKEND", "pallas")
     make_sharded_density_step = pdensity.make_sharded_density_step
     make_sharded_density_step.cache_clear()
-    pdensity._grid_chunks_sharded.cache_clear()
+    simulate3d._grid_chunks_device.cache_clear()
     outp = np.asarray(pdensity.advected_density_sharded(
         dens0, mix, spec, domain, dt, gs, mesh, chunk=512))
     make_sharded_density_step.cache_clear()
