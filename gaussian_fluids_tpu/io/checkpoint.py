@@ -49,6 +49,15 @@ def save_checkpoint(path: str, mix: GaussianMixture, spec: FieldSpec) -> None:
                  domain_range=np.asarray(payload["domain_range"]))
 
 
+def _load_npz(path: str):
+    data = np.load(path + ".npz")
+    get = lambda k: np.asarray(data[k], np.float32)
+    dr = tuple(float(v) for v in data["domain_range"])
+    clamp = float(data["clamp_threshold"])
+    mgs = float(data["min_grid_scale"])
+    return get, dr, clamp, mgs
+
+
 def load_checkpoint(path: str) -> Tuple[GaussianMixture, FieldSpec]:
     import os
 
@@ -57,11 +66,7 @@ def load_checkpoint(path: str) -> Tuple[GaussianMixture, FieldSpec]:
     # load on a torch-less replayer's .npz fallback path and vice versa.
     if _HAVE_TORCH and not os.path.exists(path) \
             and os.path.exists(path + ".npz"):
-        data = np.load(path + ".npz")
-        get = lambda k: np.asarray(data[k], np.float32)
-        dr = tuple(float(v) for v in data["domain_range"])
-        clamp = float(data["clamp_threshold"])
-        mgs = float(data["min_grid_scale"])
+        get, dr, clamp, mgs = _load_npz(path)
     elif not _HAVE_TORCH and not os.path.exists(path + ".npz") \
             and os.path.exists(path):  # pragma: no cover
         raise RuntimeError(
@@ -76,11 +81,7 @@ def load_checkpoint(path: str) -> Tuple[GaussianMixture, FieldSpec]:
         clamp = float(data["clamp_threshold"])
         mgs = float(data["min_grid_scale"])
     else:  # pragma: no cover
-        data = np.load(path + ".npz")
-        get = lambda k: np.asarray(data[k], np.float32)
-        dr = tuple(float(v) for v in data["domain_range"])
-        clamp = float(data["clamp_threshold"])
-        mgs = float(data["min_grid_scale"])
+        get, dr, clamp, mgs = _load_npz(path)
     positions = get("positions")
     d = positions.shape[1]
     values = get("values")

@@ -32,6 +32,16 @@ def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     if not with_deformation:
         return rk4_advect_pos(mix, spec, x, dt, presorted=presorted)
     f = lambda p: field.value_and_jac(mix, spec, p, presorted=presorted)
+    return rk4_deformation_stages(f, x, dt)
+
+
+def rk4_deformation_stages(f, x: jnp.ndarray, dt):
+    """RK4 with the deformation-gradient tangent chain through an arbitrary
+    ``f(points) -> (velocities, jacobians)`` closure — THE single copy of
+    the deformed stage sequence (reference 2D/GSR.py:565-574,
+    3D/GSR.py:650-662); the single-device and sharded covector paths both
+    build on it so the tangent-chain math cannot drift between copies.
+    Returns (phi, dphi, v_phi, dv_phi)."""
     v, dv = f(x)
     phi1 = x + dt * 0.5 * v
     v1, dv1 = f(phi1)
@@ -41,7 +51,7 @@ def rk4_advect(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     v3, dv3 = f(phi3)
     phi = x + dt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
 
-    eye = jnp.eye(mix.d, dtype=x.dtype)[None]
+    eye = jnp.eye(x.shape[-1], dtype=x.dtype)[None]
     mm = lambda a, b: jnp.einsum("bij,bjk->bik", a, b)
     dphi1 = eye + dt * 0.5 * dv
     dv1x = mm(dv1, dphi1)

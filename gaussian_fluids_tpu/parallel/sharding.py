@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
-from gaussian_fluids_tpu.ops import advect, field
+from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import losses, optim
 
 
@@ -544,19 +544,18 @@ def _project_epoch_2d(spec: FieldSpec, scene_name: str,
                 bd, bn, bnr = bd[o], bn[o], bnr[o]
 
         def _covector(x):
-            """Sharded advected_vorticity_2d (solver/covector.py):
-            value-only RK4 stages and the endpoint Jacobian are each
-            partial sums over the local Gaussian shard, psum'd before the
-            next stage consumes them."""
-            f = lambda p: _psum_g(field.value(old_mix, spec, p,
-                                              presorted=sorting,
-                                              need_dx=False))
-            bk_x = advect.rk4_pos_stages(f, x, -dt)
-            _, dv = field.value_and_jac(old_mix, spec, bk_x,
-                                        presorted=sorting, need_dx=False)
-            vor = losses.curl2d(_psum_g(dv))
-            inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
-            return jnp.where(inside, vor, 0.0)
+            """Sharded advected_vorticity_2d: the shared covector finish
+            (solver/covector.py vorticity_target_2d_from) with value-only
+            RK4 stages and the endpoint Jacobian each psum'd over the
+            local Gaussian shard before the next stage consumes them."""
+            from gaussian_fluids_tpu.solver.covector import \
+                vorticity_target_2d_from
+            fval = lambda p: _psum_g(field.value(old_mix, spec, p,
+                                                 presorted=sorting,
+                                                 need_dx=False))
+            fjac = lambda p: _psum_g(field.value_and_jac(
+                old_mix, spec, p, presorted=sorting, need_dx=False)[1])
+            return vorticity_target_2d_from(fval, fjac, x, dt, lo, hi)
 
         ref_vor = jax.lax.stop_gradient(_covector(data))
 
@@ -694,37 +693,18 @@ def _project_epoch_3d(spec: FieldSpec, boundary_lambda: float, weights,
     w = weights or ProjectWeights(delta_pos=0.0)
 
     def _covector(old_mix, x, dt, presorted):
-        """Sharded advected_vorticity_3d (solver/covector.py): the RK4
-        deformation chain (ops/advect.py rk4_advect) with every stage's
-        (val, jac) psum'd over the gauss axis."""
+        """Sharded advected_vorticity_3d: the shared covector finish
+        (solver/covector.py covector_targets_3d_from) with every RK4
+        stage's (val, jac) psum'd over the gauss axis."""
+        from gaussian_fluids_tpu.solver.covector import \
+            covector_targets_3d_from
+
         def f(p):
             v, dv = field.value_and_jac(old_mix, spec, p,
                                         presorted=presorted, need_dx=False)
             return _psum_g(v), _psum_g(dv)
 
-        mdt = -dt
-        v, dv = f(x)
-        phi1 = x + mdt * 0.5 * v
-        v1, dv1 = f(phi1)
-        phi2 = x + mdt * 0.5 * v1
-        v2, dv2 = f(phi2)
-        phi3 = x + mdt * v2
-        v3, dv3 = f(phi3)
-        phi = x + mdt / 6.0 * (v + 2.0 * v1 + 2.0 * v2 + v3)
-        eye = jnp.eye(3, dtype=x.dtype)[None]
-        mm = lambda a, b: jnp.einsum("bij,bjk->bik", a, b)
-        dphi1 = eye + mdt * 0.5 * dv
-        dv1x = mm(dv1, dphi1)
-        dphi2 = eye + mdt * 0.5 * dv1x
-        dv2x = mm(dv2, dphi2)
-        dphi3 = eye + mdt * dv2x
-        dphi = eye + mdt / 6.0 * (dv + 2.0 * dv1x + 2.0 * dv2x
-                                  + mm(dv3, dphi3))
-        v_phi, dv_phi = f(phi)
-        pb_vor = losses.curl3d(dv_phi)
-        hel = jnp.sum(v_phi * pb_vor, axis=-1)
-        vor = jnp.linalg.solve(dphi, pb_vor[..., None])[..., 0]
-        return vor, hel
+        return covector_targets_3d_from(f, x, dt)
 
     def epoch(params, opt_state, alive, old_params, old_alive, dt,
               data, bd, bn):

@@ -95,7 +95,7 @@ def load_vortex_particles(path=None):
     with open(path) as fd:
         for line in fd:
             if line.startswith("v "):
-                parts = line.split(" ")
+                parts = line.split()
                 X.append(float(parts[1]))
                 Y.append(float(parts[3]))
                 W.append(float(parts[4]))

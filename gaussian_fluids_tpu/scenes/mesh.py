@@ -41,8 +41,18 @@ class MeshSampler:
                         normals.append([float(t) for t in line.split()[1:4]])
                     elif line.startswith("f "):
                         toks = line.split()[1:]
-                        vs = [int(t.split("/")[0]) - 1 for t in toks]
-                        ns = [int(t.split("/")[-1]) - 1 for t in toks]
+                        vs, ns = [], []
+                        for t in toks:
+                            parts = t.split("/")
+                            vs.append(int(parts[0]) - 1)
+                            # normal index only comes from the third
+                            # field ('v//vn' or 'v/vt/vn'); 'v/vt' and
+                            # bare 'v' fall back to the vertex index
+                            # (matches parse_obj in native/gf_native.cpp)
+                            if len(parts) >= 3 and parts[2]:
+                                ns.append(int(parts[2]) - 1)
+                            else:
+                                ns.append(vs[-1])
                         # fan-triangulate quads/n-gons (matches the C++
                         # parser; a quad would otherwise silently lose its
                         # second triangle)

@@ -75,9 +75,9 @@ def split_gaussians_2d(mix: GaussianMixture, spec: FieldSpec,
     need = ratio >= 1.5
     n_split = int(need.sum())
     if n_split == 0:
-        stop = np.ones((pos.shape[0],), bool)
-        return (GaussianMixture.from_arrays(
-            pos, sca, rot, val, spec, min_capacity=mix.capacity), stop, 0)
+        # nothing split: hand back the input mixture untouched instead of
+        # round-tripping all N rows through host compaction + re-upload
+        return mix, np.ones((pos.shape[0],), bool), 0
 
     prec = np.asarray(precision_matrix(jnp.asarray(sca[need]),
                                        jnp.asarray(rot[need]), 2))
@@ -144,6 +144,9 @@ def split_gaussians_3d(mix: GaussianMixture, spec: FieldSpec,
         val = np.concatenate([val[~need], child_val])
         stop = np.concatenate([stop[~need],
                                np.zeros((2 * n_split,), bool)])
+    if total_split == 0:
+        # nothing split: skip the host-side rebuild/re-upload entirely
+        return mix, stop, 0
     # coordinate-0 sort for the block-sparse backend; stop stays aligned
     order = np.argsort(pos[:, 0], kind="stable")
     return (GaussianMixture.from_arrays(pos[order], sca[order], rot[order],

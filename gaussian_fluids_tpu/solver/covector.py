@@ -19,8 +19,24 @@ from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture
 import os
 
-from gaussian_fluids_tpu.ops.advect import rk4_advect, rk4_advect_pos
+from gaussian_fluids_tpu.ops.advect import (rk4_deformation_stages,
+                                            rk4_pos_stages)
 from gaussian_fluids_tpu.solver import losses
+
+
+def vorticity_target_2d_from(fval, fjac, x: jnp.ndarray, dt, adv_lo,
+                             adv_hi) -> jnp.ndarray:
+    """THE single copy of the 2D covector finish (reference
+    2D/advance.py:46-54): RK4-backtrace x through ``fval(points) ->
+    velocities`` by -dt, take curl from ``fjac(points) -> jacobians`` at
+    the endpoint, zero where the backtrace leaves [adv_lo, adv_hi]. The
+    single-device and sharded projection paths both build on it."""
+    bk_x = rk4_pos_stages(fval, x, -dt)
+    vor = losses.curl2d(fjac(bk_x))
+    lo = jnp.asarray(adv_lo, jnp.float32)
+    hi = jnp.asarray(adv_hi, jnp.float32)
+    inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
+    return jnp.where(inside, vor, 0.0)
 
 
 def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
@@ -37,15 +53,17 @@ def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
     if field._use_pallas(x.shape[0], vel_mix.capacity) and \
             os.environ.get("GF_FUSED_RK4", "0") == "1":
         bk_x, _, dv = field.rk4_valjac_fused(vel_mix, spec, x, -dt)
-    else:
-        bk_x = rk4_advect_pos(vel_mix, spec, x, -dt, presorted=presorted)
-        _, dv = field.value_and_jac(vel_mix, spec, bk_x,
-                                    presorted=presorted, need_dx=False)
-    vor = losses.curl2d(dv)
-    lo = jnp.asarray(adv_lo, jnp.float32)
-    hi = jnp.asarray(adv_hi, jnp.float32)
-    inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
-    return jnp.where(inside, vor, 0.0)
+        vor = losses.curl2d(dv)
+        lo = jnp.asarray(adv_lo, jnp.float32)
+        hi = jnp.asarray(adv_hi, jnp.float32)
+        inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
+        return jnp.where(inside, vor, 0.0)
+    return vorticity_target_2d_from(
+        lambda p: field.value(vel_mix, spec, p, presorted=presorted,
+                              need_dx=False),
+        lambda p: field.value_and_jac(vel_mix, spec, p, presorted=presorted,
+                                      need_dx=False)[1],
+        x, dt, adv_lo, adv_hi)
 
 
 def advected_vorticity_2d_rk1(vel_mix: GaussianMixture, spec: FieldSpec,
@@ -64,13 +82,24 @@ def advected_vorticity_2d_rk1(vel_mix: GaussianMixture, spec: FieldSpec,
     return jnp.where(inside, vor, 0.0)
 
 
-def advected_vorticity_3d(vel_mix: GaussianMixture, spec: FieldSpec,
-                          x: jnp.ndarray, dt, presorted: bool = False):
-    """(vor (B,3), hel (B,)) — reference 3D/advance.py:34-47."""
-    bk_x, dpsi, pb_v, pb_dv = rk4_advect(vel_mix, spec, x, -dt,
-                                         with_deformation=True,
-                                         presorted=presorted)
+def covector_targets_3d_from(f, x: jnp.ndarray, dt):
+    """THE single copy of the 3D covector finish (reference
+    3D/advance.py:34-47): RK4 deformation backtrace through an arbitrary
+    ``f(points) -> (velocities, jacobians)`` closure, then the vorticity
+    pullback omega = (dpsi)^{-1} omega_b and helicity hel = v_b . omega_b.
+    The single-device and sharded projection paths both build on it."""
+    _, dpsi, pb_v, pb_dv = rk4_deformation_stages(f, x, -dt)
     pb_vor = losses.curl3d(pb_dv)
     hel = jnp.sum(pb_v * pb_vor, axis=-1)
     vor = jnp.linalg.solve(dpsi, pb_vor[..., None])[..., 0]
     return vor, hel
+
+
+def advected_vorticity_3d(vel_mix: GaussianMixture, spec: FieldSpec,
+                          x: jnp.ndarray, dt, presorted: bool = False):
+    """(vor (B,3), hel (B,)) — reference 3D/advance.py:34-47."""
+    from gaussian_fluids_tpu.ops import field
+    return covector_targets_3d_from(
+        lambda p: field.value_and_jac(vel_mix, spec, p,
+                                      presorted=presorted, need_dx=False),
+        x, dt)

@@ -29,16 +29,14 @@ from gaussian_fluids_tpu.utils import rng
 def _vorticity_mag_fn(mix, spec):
     def f(x):
         j = field.eval_on_grid(mix, spec, x)[1]
-        curl = np.stack([j[:, 2, 1] - j[:, 1, 2], j[:, 0, 2] - j[:, 2, 0],
-                         j[:, 1, 0] - j[:, 0, 1]], -1)
-        return np.linalg.norm(curl, axis=-1)
+        return np.linalg.norm(np.asarray(losses.curl3d(j)), axis=-1)
     return f
 
 
 def _divergence_fn(mix, spec):
     def f(x):
         j = field.eval_on_grid(mix, spec, x)[1]
-        return j[:, 0, 0] + j[:, 1, 1] + j[:, 2, 2]
+        return np.asarray(losses.divergence(j))
     return f
 
 

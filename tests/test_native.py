@@ -67,3 +67,31 @@ def test_obj_quad_faces_fan_triangulated(tmp_path):
     if native.load() is not None:
         parsed = native.parse_obj(str(obj))
         assert parsed is not None and parsed[2].shape == (2, 3)
+
+
+def test_obj_vertex_texcoord_faces_both_parsers(tmp_path, monkeypatch):
+    """'f v/vt ...' faces (legal OBJ, no normal index) must NOT read the
+    texcoord index as a normal index — both parsers fall back to the
+    vertex index (previously the Python fallback used the last '/'-field,
+    silently gathering normals at texcoord indices)."""
+    obj = tmp_path / "vt.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "vt 0.9 0.9\nvt 0.8 0.8\nvt 0.7 0.7\n"
+        "f 1/3 2/2 3/1\n")
+    from gaussian_fluids_tpu.scenes.mesh import MeshSampler
+    from gaussian_fluids_tpu.utils import native
+
+    eye = np.eye(3, dtype=np.float32)
+    zero = np.zeros(3, dtype=np.float32)
+    expected_fn = [[0, 1, 2]]     # vertex-index fallback, NOT [[2, 1, 0]]
+
+    ms = MeshSampler(str(obj), 1.0, eye, zero)
+    np.testing.assert_array_equal(ms.facenormals, expected_fn)
+
+    # force the pure-Python fallback even when the C++ parser is built
+    monkeypatch.setattr(native, "parse_obj", lambda path: None)
+    ms_py = MeshSampler(str(obj), 1.0, eye, zero)
+    np.testing.assert_array_equal(ms_py.facenormals, expected_fn)
+    np.testing.assert_array_equal(ms_py.faces, ms.faces)
