@@ -41,16 +41,20 @@ class MeshSampler:
                         normals.append([float(t) for t in line.split()[1:4]])
                     elif line.startswith("f "):
                         toks = line.split()[1:]
+                        # OBJ indices are 1-based; negative values are
+                        # relative to the elements defined so far
+                        res_v = lambda i: i - 1 if i > 0 else len(vertices) + i
+                        res_n = lambda i: i - 1 if i > 0 else len(normals) + i
                         vs, ns = [], []
                         for t in toks:
                             parts = t.split("/")
-                            vs.append(int(parts[0]) - 1)
+                            vs.append(res_v(int(parts[0])))
                             # normal index only comes from the third
-                            # field ('v//vn' or 'v/vt/vn'); 'v/vt' and
-                            # bare 'v' fall back to the vertex index
+                            # field ('v//vn' or 'v/vt/vn'); 'v/vt', 'v//'
+                            # and bare 'v' fall back to the vertex index
                             # (matches parse_obj in native/gf_native.cpp)
                             if len(parts) >= 3 and parts[2]:
-                                ns.append(int(parts[2]) - 1)
+                                ns.append(res_n(int(parts[2])))
                             else:
                                 ns.append(vs[-1])
                         # fan-triangulate quads/n-gons (matches the C++

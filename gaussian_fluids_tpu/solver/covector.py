@@ -24,19 +24,27 @@ from gaussian_fluids_tpu.ops.advect import (rk4_deformation_stages,
 from gaussian_fluids_tpu.solver import losses
 
 
-def vorticity_target_2d_from(fval, fjac, x: jnp.ndarray, dt, adv_lo,
-                             adv_hi) -> jnp.ndarray:
+def _finish_2d(bk_x: jnp.ndarray, dv: jnp.ndarray, adv_lo,
+               adv_hi) -> jnp.ndarray:
     """THE single copy of the 2D covector finish (reference
-    2D/advance.py:46-54): RK4-backtrace x through ``fval(points) ->
-    velocities`` by -dt, take curl from ``fjac(points) -> jacobians`` at
-    the endpoint, zero where the backtrace leaves [adv_lo, adv_hi]. The
-    single-device and sharded projection paths both build on it."""
-    bk_x = rk4_pos_stages(fval, x, -dt)
-    vor = losses.curl2d(fjac(bk_x))
+    2D/advance.py:46-54): curl at the backtraced points, zeroed where the
+    backtrace left [adv_lo, adv_hi] (2D vorticity is materially
+    conserved). Shared by the staged, fused-RK4 and rk1 backtrace paths."""
+    vor = losses.curl2d(dv)
     lo = jnp.asarray(adv_lo, jnp.float32)
     hi = jnp.asarray(adv_hi, jnp.float32)
     inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
     return jnp.where(inside, vor, 0.0)
+
+
+def vorticity_target_2d_from(fval, fjac, x: jnp.ndarray, dt, adv_lo,
+                             adv_hi) -> jnp.ndarray:
+    """2D covector target through arbitrary closures: RK4-backtrace x
+    through ``fval(points) -> velocities`` by -dt, then the shared finish
+    on ``fjac(points) -> jacobians`` at the endpoint. The single-device
+    and sharded projection paths both build on it."""
+    bk_x = rk4_pos_stages(fval, x, -dt)
+    return _finish_2d(bk_x, fjac(bk_x), adv_lo, adv_hi)
 
 
 def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
@@ -53,11 +61,7 @@ def advected_vorticity_2d(vel_mix: GaussianMixture, spec: FieldSpec,
     if field._use_pallas(x.shape[0], vel_mix.capacity) and \
             os.environ.get("GF_FUSED_RK4", "0") == "1":
         bk_x, _, dv = field.rk4_valjac_fused(vel_mix, spec, x, -dt)
-        vor = losses.curl2d(dv)
-        lo = jnp.asarray(adv_lo, jnp.float32)
-        hi = jnp.asarray(adv_hi, jnp.float32)
-        inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
-        return jnp.where(inside, vor, 0.0)
+        return _finish_2d(bk_x, dv, adv_lo, adv_hi)
     return vorticity_target_2d_from(
         lambda p: field.value(vel_mix, spec, p, presorted=presorted,
                               need_dx=False),
@@ -75,11 +79,7 @@ def advected_vorticity_2d_rk1(vel_mix: GaussianMixture, spec: FieldSpec,
     v = field.value(vel_mix, spec, x, need_dx=False)
     bk_x = x - v * dt
     _, dv = field.value_and_jac(vel_mix, spec, bk_x)
-    vor = losses.curl2d(dv)
-    lo = jnp.asarray(adv_lo, jnp.float32)
-    hi = jnp.asarray(adv_hi, jnp.float32)
-    inside = jnp.all((bk_x >= lo) & (bk_x <= hi), axis=-1)
-    return jnp.where(inside, vor, 0.0)
+    return _finish_2d(bk_x, dv, adv_lo, adv_hi)
 
 
 def covector_targets_3d_from(f, x: jnp.ndarray, dt):

@@ -22,6 +22,7 @@ from gaussian_fluids_tpu.io import checkpoint
 from gaussian_fluids_tpu.scenes import get_scene_2d
 from gaussian_fluids_tpu.solver import losses
 from gaussian_fluids_tpu.solver.advect_field import advect_covector_field_2d
+from gaussian_fluids_tpu.utils import analysis
 from gaussian_fluids_tpu.solver.clone import clone_velocity_field
 from gaussian_fluids_tpu.solver.fit import fit_velocity_with_gradient
 from gaussian_fluids_tpu.solver.project import ProjectWeights, project_2d
@@ -55,11 +56,11 @@ def _viz_frame(out_dir, tag, mix, spec, scene, with_refs=False):
 
     def orig_vor(x):
         j = field.eval_on_grid(mix, spec, np.asarray(x) * sf)[1]
-        return j[:, 1, 0] - j[:, 0, 1]
+        return analysis.curl2d_np(j)
 
     def orig_div(x):
         j = field.eval_on_grid(mix, spec, np.asarray(x) * sf)[1]
-        return j[:, 0, 0] + j[:, 1, 1]
+        return analysis.divergence_np(j)
 
     viz2d.show_field(gauss_vel, x0i * sf, x1i * sf, y0i * sf, y1i * sf,
                      dim=2, x_n=30, y_n=30,

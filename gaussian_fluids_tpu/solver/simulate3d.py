@@ -23,20 +23,20 @@ from gaussian_fluids_tpu.solver.clone import clone_velocity_field
 from gaussian_fluids_tpu.solver.fit import fit_velocity_with_gradient
 from gaussian_fluids_tpu.solver.project import ProjectWeights, project_3d
 from gaussian_fluids_tpu.utils.grids import grid_points_3d
-from gaussian_fluids_tpu.utils import rng
+from gaussian_fluids_tpu.utils import analysis, rng
 
 
 def _vorticity_mag_fn(mix, spec):
     def f(x):
         j = field.eval_on_grid(mix, spec, x)[1]
-        return np.linalg.norm(np.asarray(losses.curl3d(j)), axis=-1)
+        return np.linalg.norm(analysis.curl3d_np(j), axis=-1)
     return f
 
 
 def _divergence_fn(mix, spec):
     def f(x):
         j = field.eval_on_grid(mix, spec, x)[1]
-        return np.asarray(losses.divergence(j))
+        return analysis.divergence_np(j)
     return f
 
 

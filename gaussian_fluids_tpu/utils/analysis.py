@@ -61,3 +61,25 @@ def shedding_stats(vy: np.ndarray, dt: float, diameter: float,
         return crossings, dur, None, None
     freq = crossings / 2.0 / dur
     return crossings, dur, freq, freq * diameter / u_mag
+
+
+def curl2d_np(jac: np.ndarray) -> np.ndarray:
+    """Host-side twin of solver.losses.curl2d for numpy (B, 2, 2)
+    jacobians (viz/analyzer sweeps run on fetched host arrays — pushing
+    them back through the jnp ops would round-trip the whole grid over
+    the device link). Pinned to the jnp version by tests/test_analysis.py."""
+    return jac[:, 1, 0] - jac[:, 0, 1]
+
+
+def curl3d_np(jac: np.ndarray) -> np.ndarray:
+    """Host-side twin of solver.losses.curl3d (see curl2d_np)."""
+    return np.stack([
+        jac[:, 2, 1] - jac[:, 1, 2],
+        jac[:, 0, 2] - jac[:, 2, 0],
+        jac[:, 1, 0] - jac[:, 0, 1],
+    ], axis=-1)
+
+
+def divergence_np(jac: np.ndarray) -> np.ndarray:
+    """Host-side twin of solver.losses.divergence (see curl2d_np)."""
+    return np.trace(jac, axis1=-2, axis2=-1)

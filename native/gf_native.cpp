@@ -128,21 +128,39 @@ int parse_obj_open(const char* path, int64_t* n_v, int64_t* n_vn,
       int32_t vi[kMaxPoly], ni[kMaxPoly];
       int got = 0;
       char* p = line + 2;
+      // OBJ indices are 1-based; negative indices are relative to the
+      // elements defined so far. Resolve both to 0-based here.
+      const int32_t nv = (int32_t)(g_obj->v.size() / 3);
+      const int32_t nn = (int32_t)(g_obj->vn.size() / 3);
       while (got < kMaxPoly) {
         while (*p == ' ') ++p;
         if (!*p || *p == '\n' || *p == '\r') break;
-        vi[got] = (int32_t)std::strtol(p, &p, 10);
-        ni[got] = vi[got];
+        int32_t v0 = (int32_t)std::strtol(p, &p, 10);
+        vi[got] = v0 > 0 ? v0 - 1 : nv + v0;
+        ni[got] = vi[got];  // default: no normal index in this token
+        // strtol skips leading whitespace, so an empty slot ('v//')
+        // would silently eat the NEXT token's digits — only parse when
+        // a number starts right here; otherwise keep the vertex-index
+        // fallback (matches the Python parser in scenes/mesh.py)
+        auto at_num = [](const char* c) {
+          return *c == '-' || (*c >= '0' && *c <= '9');
+        };
         if (*p == '/') {
           ++p;
           if (*p == '/') {
             ++p;
-            ni[got] = (int32_t)std::strtol(p, &p, 10);
+            if (at_num(p)) {
+              int32_t n0 = (int32_t)std::strtol(p, &p, 10);
+              ni[got] = n0 > 0 ? n0 - 1 : nn + n0;
+            }
           } else {
-            std::strtol(p, &p, 10);  // texture index, ignored
+            if (at_num(p)) std::strtol(p, &p, 10);  // texture idx, ignored
             if (*p == '/') {
               ++p;
-              ni[got] = (int32_t)std::strtol(p, &p, 10);
+              if (at_num(p)) {
+                int32_t n0 = (int32_t)std::strtol(p, &p, 10);
+                ni[got] = n0 > 0 ? n0 - 1 : nn + n0;
+              }
             }
           }
         }
@@ -152,8 +170,8 @@ int parse_obj_open(const char* path, int64_t* n_v, int64_t* n_vn,
       for (int t = 2; t < got; ++t) {  // fan: (0, t-1, t)
         const int idx[3] = {0, t - 1, t};
         for (int c = 0; c < 3; ++c) {
-          g_obj->f.push_back(vi[idx[c]] - 1);
-          g_obj->fn.push_back(ni[idx[c]] - 1);
+          g_obj->f.push_back(vi[idx[c]]);
+          g_obj->fn.push_back(ni[idx[c]]);
         }
       }
     }

@@ -32,6 +32,7 @@ jax.config.update("jax_platforms", "cpu")
 from gaussian_fluids_tpu.io.checkpoint import load_checkpoint  # noqa: E402
 from gaussian_fluids_tpu.ops import field  # noqa: E402
 from gaussian_fluids_tpu.scenes import get_scene_2d  # noqa: E402
+from gaussian_fluids_tpu.utils import analysis  # noqa: E402
 from gaussian_fluids_tpu.utils.analysis import (  # noqa: E402
     shedding_stats, street_alternations)
 
@@ -81,8 +82,8 @@ mask_cyl = ((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2
 for n in sampled:
     mix, spec = load_checkpoint(all_frames[n])
     _, jac = field.eval_on_grid(mix, spec, pts)
-    div = (jac[:, 0, 0] + jac[:, 1, 1])[mask_cyl]
-    vor = (jac[:, 1, 0] - jac[:, 0, 1]).reshape(RES_Y, RES_X)
+    div = analysis.divergence_np(jac)[mask_cyl]
+    vor = analysis.curl2d_np(jac).reshape(RES_Y, RES_X)
     alt, wake_vor = street_alternations(vor, xs, cx, radius)
     print(f"{n:6d} {int(mix.alive.sum()):7d} {np.abs(div).mean():11.3e} "
           f"{np.abs(div).max():10.3e} {wake_vor:14.4f} {alt:20d}")

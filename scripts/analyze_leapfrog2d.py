@@ -32,6 +32,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from gaussian_fluids_tpu.io.checkpoint import load_checkpoint  # noqa: E402
 from gaussian_fluids_tpu.ops import field  # noqa: E402
+from gaussian_fluids_tpu.utils import analysis  # noqa: E402
 
 run_dir = sys.argv[1]
 stride = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -100,8 +101,8 @@ for n in sampled:
     ys = np.linspace(spec.lo[1] + 1e-3, spec.hi[1] - 1e-3, RES)
     pts = np.stack(np.meshgrid(xs, ys, indexing="xy"), -1).reshape(-1, 2)
     _, jac = field.eval_on_grid(mix, spec, pts)
-    div = jac[:, 0, 0] + jac[:, 1, 1]
-    vor = (jac[:, 1, 0] - jac[:, 0, 1]).reshape(RES, RES)
+    div = analysis.divergence_np(jac)
+    vor = analysis.curl2d_np(jac).reshape(RES, RES)
     vor_sum = float(np.abs(vor).mean())
     if first_vor_sum is None:
         first_vor_sum = vor_sum

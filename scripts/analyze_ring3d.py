@@ -30,7 +30,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from gaussian_fluids_tpu.io.checkpoint import load_checkpoint  # noqa: E402
 from gaussian_fluids_tpu.ops import field  # noqa: E402
-from gaussian_fluids_tpu.solver import losses  # noqa: E402
+from gaussian_fluids_tpu.utils import analysis  # noqa: E402
 
 run_dir = sys.argv[1]
 stride = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -72,8 +72,8 @@ for n in sampled:
     mix, spec = load_checkpoint(all_frames[n])
     _, jac = field.eval_on_grid(mix, spec, pts)
     jac = np.asarray(jac)
-    div = jac[:, 0, 0] + jac[:, 1, 1] + jac[:, 2, 2]
-    vor = np.asarray(losses.curl3d(jac))
+    div = analysis.divergence_np(jac)
+    vor = analysis.curl3d_np(jac)
     w = np.linalg.norm(vor, axis=-1)
     # ring geometry from the strong cores only: the weak background
     # vorticity fills the whole domain and would dilute the weighted radius

@@ -60,3 +60,23 @@ def test_shedding_stats_flat_signal_no_shedding():
     vy = np.zeros(50)
     crossings, dur, freq, st = shedding_stats(vy, 0.05, 0.5, 2.0)
     assert freq is None and st is None
+
+
+def test_numpy_curl_div_twins_match_jnp():
+    """utils.analysis curl/div host twins are pinned to solver.losses —
+    the viz/analyzer sweeps use the numpy versions to avoid round-tripping
+    whole grids through the device link."""
+    from gaussian_fluids_tpu.solver import losses
+    from gaussian_fluids_tpu.utils import analysis
+
+    rng = np.random.RandomState(0)
+    j2 = rng.randn(17, 2, 2).astype(np.float32)
+    j3 = rng.randn(17, 3, 3).astype(np.float32)
+    np.testing.assert_allclose(analysis.curl2d_np(j2),
+                               np.asarray(losses.curl2d(j2)), rtol=1e-6)
+    np.testing.assert_allclose(analysis.curl3d_np(j3),
+                               np.asarray(losses.curl3d(j3)), rtol=1e-6)
+    np.testing.assert_allclose(analysis.divergence_np(j3),
+                               np.asarray(losses.divergence(j3)), rtol=1e-6)
+    np.testing.assert_allclose(analysis.divergence_np(j2),
+                               np.asarray(losses.divergence(j2)), rtol=1e-6)

@@ -95,3 +95,52 @@ def test_obj_vertex_texcoord_faces_both_parsers(tmp_path, monkeypatch):
     ms_py = MeshSampler(str(obj), 1.0, eye, zero)
     np.testing.assert_array_equal(ms_py.facenormals, expected_fn)
     np.testing.assert_array_equal(ms_py.faces, ms.faces)
+
+
+def test_obj_negative_relative_indices_both_parsers(tmp_path, monkeypatch):
+    """Negative OBJ face indices are relative to the elements defined so
+    far ('f -3 -2 -1' after 3 vertices means vertices 1,2,3) — previously
+    both parsers produced wrapped/out-of-range indices silently."""
+    obj = tmp_path / "rel.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "f -3//-3 -2//-2 -1//-1\n")
+    from gaussian_fluids_tpu.scenes.mesh import MeshSampler
+    from gaussian_fluids_tpu.utils import native
+
+    eye = np.eye(3, dtype=np.float32)
+    zero = np.zeros(3, dtype=np.float32)
+
+    ms = MeshSampler(str(obj), 1.0, eye, zero)
+    np.testing.assert_array_equal(ms.faces, [[0, 1, 2]])
+    np.testing.assert_array_equal(ms.facenormals, [[0, 1, 2]])
+
+    monkeypatch.setattr(native, "parse_obj", lambda path: None)
+    ms_py = MeshSampler(str(obj), 1.0, eye, zero)
+    np.testing.assert_array_equal(ms_py.faces, [[0, 1, 2]])
+    np.testing.assert_array_equal(ms_py.facenormals, [[0, 1, 2]])
+
+
+def test_obj_empty_normal_slot_both_parsers(tmp_path, monkeypatch):
+    """'f v//' tokens (empty normal slot) must fall back to the vertex
+    index in BOTH parsers — the C++ parser previously emitted index -1
+    (strtol consumed nothing), diverging from the Python fallback."""
+    obj = tmp_path / "vslash.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vn 0 0 1\nvn 0 0 1\nvn 0 0 1\n"
+        "f 1// 2// 3//\n")
+    from gaussian_fluids_tpu.scenes.mesh import MeshSampler
+    from gaussian_fluids_tpu.utils import native
+
+    eye = np.eye(3, dtype=np.float32)
+    zero = np.zeros(3, dtype=np.float32)
+    expected_fn = [[0, 1, 2]]
+
+    ms = MeshSampler(str(obj), 1.0, eye, zero)
+    np.testing.assert_array_equal(ms.facenormals, expected_fn)
+
+    monkeypatch.setattr(native, "parse_obj", lambda path: None)
+    ms_py = MeshSampler(str(obj), 1.0, eye, zero)
+    np.testing.assert_array_equal(ms_py.facenormals, expected_fn)
