@@ -83,3 +83,19 @@ def curl3d_np(jac: np.ndarray) -> np.ndarray:
 def divergence_np(jac: np.ndarray) -> np.ndarray:
     """Host-side twin of solver.losses.divergence (see curl2d_np)."""
     return np.trace(jac, axis1=-2, axis2=-1)
+
+
+def circle_points(center, radius: float, m: int):
+    """(points (m,2), outward normals (m,2)) on a circle — probe layout
+    for the obstacle boundary-flux residual (the constraint the type-2
+    free-slip samplers enforce, reference 2D/init_cond.py:325-346)."""
+    th = np.linspace(0.0, 2.0 * np.pi, m, endpoint=False)
+    n = np.stack([np.cos(th), np.sin(th)], -1)
+    return np.asarray(center, np.float64) + radius * n, n
+
+
+def flux_stats(vel: np.ndarray, normals: np.ndarray):
+    """(mean |u.n|, max |u.n|) over boundary probe points — how well the
+    solved field honors an impermeable boundary (target normal flux 0)."""
+    fl = np.abs(np.sum(np.asarray(vel) * normals, axis=-1))
+    return float(fl.mean()), float(fl.max())

@@ -80,3 +80,19 @@ def test_numpy_curl_div_twins_match_jnp():
                                np.asarray(losses.divergence(j3)), rtol=1e-6)
     np.testing.assert_allclose(analysis.divergence_np(j2),
                                np.asarray(losses.divergence(j2)), rtol=1e-6)
+
+
+def test_circle_flux_probe():
+    from gaussian_fluids_tpu.utils import analysis
+
+    pts, nrm = analysis.circle_points((1.0, -2.0), 0.5, 64)
+    np.testing.assert_allclose(
+        np.linalg.norm(pts - np.asarray([1.0, -2.0]), axis=-1), 0.5,
+        rtol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0, rtol=1e-6)
+    # a purely tangential field has zero flux; a radial one has |u|
+    tang = np.stack([-nrm[:, 1], nrm[:, 0]], -1) * 3.0
+    mean_t, max_t = analysis.flux_stats(tang, nrm)
+    assert max_t < 1e-6
+    mean_r, max_r = analysis.flux_stats(2.0 * nrm, nrm)
+    np.testing.assert_allclose([mean_r, max_r], [2.0, 2.0], rtol=1e-6)
