@@ -99,3 +99,23 @@ def flux_stats(vel: np.ndarray, normals: np.ndarray):
     solved field honors an impermeable boundary (target normal flux 0)."""
     fl = np.abs(np.sum(np.asarray(vel) * normals, axis=-1))
     return float(fl.mean()), float(fl.max())
+
+
+def box_points(lo, hi, m_per_face: int, seed: int = 0):
+    """(points (6m,3), outward normals (6m,3)) sampled uniformly on the
+    six faces of the [lo, hi] box — probe layout for the 3D domain-wall
+    flux residual (the constraint sample_on_box enforces, reference
+    3D/init_cond.py:227-249)."""
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    rng = np.random.RandomState(seed)
+    pts, nrm = [], []
+    for axis in range(3):
+        for side, coord in ((-1.0, lo[axis]), (1.0, hi[axis])):
+            p = lo + rng.rand(m_per_face, 3) * (hi - lo)
+            p[:, axis] = coord
+            n = np.zeros((m_per_face, 3))
+            n[:, axis] = side
+            pts.append(p)
+            nrm.append(n)
+    return np.concatenate(pts), np.concatenate(nrm)

@@ -63,18 +63,26 @@ xs = np.linspace(0.0, 1.0, RES, dtype=np.float32)
 pts = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1).reshape(-1, 3)
 r_perp = np.sqrt((pts[:, 1] - 0.5) ** 2 + (pts[:, 2] - 0.5) ** 2)
 ax_dist = np.abs(pts[:, 0] - 0.5)
+# domain-wall impermeability probe (the boundary constraint the 3D
+# projection enforces at lambda=10 — reference 3D/advance.py:230-235)
+wall_pts, wall_nrm = analysis.box_points((0.0, 0.0, 0.0),
+                                         (1.0, 1.0, 1.0), 256)
+wall_pts = wall_pts.astype(np.float32)
 
 sampled = sorted(set([n for n in all_frames if n % stride == 0]
                      + [max(all_frames)]))
 print(f"{'frame':>6} {'N':>7} {'mean|div|':>11} {'max|div|':>10} "
-      f"{'mean|vor|':>10} {'r_ring':>7} {'ax_spread':>9}")
+      f"{'mean|vor|':>10} {'r_ring':>7} {'ax_spread':>9} {'wallflux':>9}")
 for n in sampled:
     mix, spec = load_checkpoint(all_frames[n])
-    _, jac = field.eval_on_grid(mix, spec, pts)
+    val, jac = field.eval_on_grid(mix, spec, pts)
     jac = np.asarray(jac)
     div = analysis.divergence_np(jac)
     vor = analysis.curl3d_np(jac)
     w = np.linalg.norm(vor, axis=-1)
+    speed = np.linalg.norm(np.asarray(val), axis=-1).mean()
+    wall_v = np.asarray(field.eval_on_grid(mix, spec, wall_pts)[0])
+    wall_flux, _ = analysis.flux_stats(wall_v, wall_nrm)
     # ring geometry from the strong cores only: the weak background
     # vorticity fills the whole domain and would dilute the weighted radius
     w = w * (w > 0.25 * w.max())
@@ -82,4 +90,7 @@ for n in sampled:
     print(f"{n:6d} {int(mix.alive.sum()):7d} {np.abs(div).mean():11.3e} "
           f"{np.abs(div).max():10.3e} {np.linalg.norm(vor, axis=-1).mean():10.4f} "
           f"{(w * r_perp).sum() / wsum:7.3f} "
-          f"{(w * ax_dist).sum() / wsum:9.3f}")
+          f"{(w * ax_dist).sum() / wsum:9.3f} "
+          f"{wall_flux / max(speed, 1e-12):9.4f}")
+print("# wallflux: mean |u.n| on the domain box faces / grid mean |u| "
+      "(0 = impermeable walls)")

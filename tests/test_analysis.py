@@ -96,3 +96,24 @@ def test_circle_flux_probe():
     assert max_t < 1e-6
     mean_r, max_r = analysis.flux_stats(2.0 * nrm, nrm)
     np.testing.assert_allclose([mean_r, max_r], [2.0, 2.0], rtol=1e-6)
+
+
+def test_box_flux_probe():
+    from gaussian_fluids_tpu.utils import analysis
+
+    pts, nrm = analysis.box_points((0.0, 0.0, 0.0), (1.0, 2.0, 3.0), 32)
+    assert pts.shape == (192, 3) and nrm.shape == (192, 3)
+    # every point sits on exactly one face, normal pointing outward there
+    on_face = (np.isclose(pts, [0, 0, 0]) | np.isclose(pts, [1, 2, 3]))
+    assert (on_face.sum(-1) >= 1).all()
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=-1), 1.0)
+    # u_i = sin(pi (x_i - lo_i) / L_i) vanishes on both i-faces, so the
+    # normal component is exactly zero on every face
+    L = np.asarray([1.0, 2.0, 3.0])
+    tang = np.sin(np.pi * pts / L)
+    mean_t, max_t = analysis.flux_stats(tang, nrm)
+    assert max_t < 1e-12
+    # while a radial-from-center field has large outward flux
+    rad = pts - L / 2.0
+    mean_r, _ = analysis.flux_stats(rad, nrm)
+    assert mean_r > 0.3
