@@ -6,6 +6,13 @@ field must match after one transport step.
 point, zeroed where the backtrace leaves the advance domain (2D vorticity
 is materially conserved).
 
+Semantic note (SURVEY.md §7 flags this as a trap): the reference's
+docstring warns that vorticity(x) "would modify x to the advected
+positions", but its rk4 path never does — advection_rk4 writes a fresh
+goal_pos tensor (2D/GSR.py:583-592), so the projection's data loss is
+evaluated at the ORIGINAL sample positions against targets from the
+backtraced ones. These functions are pure and implement exactly that.
+
 3D (reference 3D/advance.py:11-49): additionally pull the vorticity back
 through the inverse deformation, omega = (dpsi)^{-1} omega_b, and form the
 helicity target hel = v_b . omega_b.
