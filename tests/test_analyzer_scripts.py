@@ -124,3 +124,18 @@ def test_analyze_vortices_pass2d(tmp_path):
     rows = [l for l in out.splitlines()
             if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
     assert len(rows) == 2
+
+
+@pytest.mark.slow
+def test_analyze_taylor_vortex2d(tmp_path):
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    scene = get_scene_2d("taylor_vortex")
+    sf = scene.scaling_factor
+    (x0, x1, y0, y1) = np.asarray(scene.visualize_domain)
+    run = _write_run(str(tmp_path), (x0 * sf - 1, y0 * sf - 1),
+                     (x1 * sf + 1, y1 * sf + 1), 24, 2, frames=3)
+    out = _run("analyze_taylor_vortex2d.py", run, "2")
+    assert "sep" in out and "angle" in out
+    rows = [l for l in out.splitlines()
+            if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
+    assert len(rows) == 2
