@@ -35,6 +35,9 @@ from gaussian_fluids_tpu.utils import analysis  # noqa: E402
 run_dir = sys.argv[1]
 stride = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 RES = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+# optional scene name: when it has an obstacle mesh (ring_with_obstacle)
+# an extra meshflux column probes |u.n| on the obstacle surface
+scene_name = sys.argv[4] if len(sys.argv) > 4 else None
 
 
 def frames():
@@ -69,10 +72,21 @@ wall_pts, wall_nrm = analysis.box_points((0.0, 0.0, 0.0),
                                          (1.0, 1.0, 1.0), 256)
 wall_pts = wall_pts.astype(np.float32)
 
+mesh_pts = mesh_nrm = None
+if scene_name is not None:
+    from gaussian_fluids_tpu.scenes import get_scene_3d
+    scene = get_scene_3d(scene_name)
+    if scene.mesh_sampler is not None:
+        p, nr = scene.mesh_sampler.sample(jax.random.PRNGKey(0), 1024)
+        mesh_pts = np.asarray(p, np.float32)
+        mesh_nrm = np.asarray(nr)
+
 sampled = sorted(set([n for n in all_frames if n % stride == 0]
                      + [max(all_frames)]))
+mesh_hdr = f" {'meshflux':>9}" if mesh_pts is not None else ""
 print(f"{'frame':>6} {'N':>7} {'mean|div|':>11} {'max|div|':>10} "
-      f"{'mean|vor|':>10} {'r_ring':>7} {'ax_spread':>9} {'wallflux':>9}")
+      f"{'mean|vor|':>10} {'r_ring':>7} {'ax_spread':>9} {'wallflux':>9}"
+      f"{mesh_hdr}")
 for n in sampled:
     mix, spec = load_checkpoint(all_frames[n])
     val, jac = field.eval_on_grid(mix, spec, pts)
@@ -87,10 +101,17 @@ for n in sampled:
     # vorticity fills the whole domain and would dilute the weighted radius
     w = w * (w > 0.25 * w.max())
     wsum = w.sum() + 1e-30
+    mesh_col = ""
+    if mesh_pts is not None:
+        mv = np.asarray(field.eval_on_grid(mix, spec, mesh_pts)[0])
+        mf, _ = analysis.flux_stats(mv, mesh_nrm)
+        mesh_col = f" {mf / max(speed, 1e-12):9.4f}"
     print(f"{n:6d} {int(mix.alive.sum()):7d} {np.abs(div).mean():11.3e} "
           f"{np.abs(div).max():10.3e} {np.linalg.norm(vor, axis=-1).mean():10.4f} "
           f"{(w * r_perp).sum() / wsum:7.3f} "
           f"{(w * ax_dist).sum() / wsum:9.3f} "
-          f"{wall_flux / max(speed, 1e-12):9.4f}")
+          f"{wall_flux / max(speed, 1e-12):9.4f}{mesh_col}")
 print("# wallflux: mean |u.n| on the domain box faces / grid mean |u| "
-      "(0 = impermeable walls)")
+      "(0 = impermeable walls)"
+      + ("; meshflux: same on the obstacle mesh surface"
+         if mesh_pts is not None else ""))

@@ -139,3 +139,14 @@ def test_analyze_taylor_vortex2d(tmp_path):
     rows = [l for l in out.splitlines()
             if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
     assert len(rows) == 2
+
+
+@pytest.mark.slow
+def test_analyze_ring3d_mesh_flux(tmp_path):
+    run = _write_run(str(tmp_path), (0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                     16, 3, frames=2)
+    out = _run("analyze_ring3d.py", run, "1", "8", "ring_with_obstacle")
+    assert "meshflux" in out
+    rows = [l for l in out.splitlines()
+            if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
+    assert len(rows) == 2
