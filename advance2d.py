@@ -13,4 +13,5 @@ if __name__ == "__main__":
         advance_2d(args.init_cond, args.dir, args.dt, args.last_time,
                    start_frame=args.start_frame, max_epoch=args.max_epoch,
                    seed=args.seed, viz=not args.no_viz,
-                   target_grid_res=args.target_grid)
+                   target_grid_res=args.target_grid,
+                   mesh_shape=args.mesh)

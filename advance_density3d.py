@@ -11,4 +11,5 @@ if __name__ == "__main__":
     args = parse_args_3d()
     with maybe_trace(args.profile):
         advance_density(args.init_cond, args.dir, args.dt,
-                        res_multiplier=args.density_res_multiplier)
+                        res_multiplier=args.density_res_multiplier,
+                        mesh_shape=args.mesh)

@@ -35,6 +35,16 @@ def _common(parser: argparse.ArgumentParser, dim: int):
                              "accuracy for a much cheaper epoch)")
     parser.add_argument("--max_epoch", type=int, default=None,
                         help="override the per-phase epoch budget")
+    parser.add_argument("--mesh", type=str, default=None, metavar="BxG",
+                        help="run the frame loop multi-chip over a "
+                             "(batch=B) x (gauss=G) jax.sharding.Mesh of "
+                             "the first B*G local devices (e.g. '4x2'; a "
+                             "bare integer means batch-only). The sharded "
+                             "epochs use exact per-epoch targets, so "
+                             "--target_grid must stay 0. Reference analog: "
+                             "its whole device story was the --device flag "
+                             "(2D/GSR.py:26-30); multi-chip is new scope "
+                             "(SURVEY.md §2.8)")
     parser.add_argument("--no_viz", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
@@ -47,11 +57,25 @@ def _common(parser: argparse.ArgumentParser, dim: int):
     return parser
 
 
+def parse_mesh(s):
+    """'BxG' or 'B' -> (n_batch, n_gauss); None/'' -> None."""
+    if not s:
+        return None
+    parts = s.lower().split("x")
+    if len(parts) > 2 or not all(p.isdigit() and int(p) > 0 for p in parts):
+        raise SystemExit(f"--mesh expects 'BxG' or 'B' with positive "
+                         f"integers, got {s!r}")
+    b = int(parts[0])
+    g = int(parts[1]) if len(parts) == 2 else 1
+    return (b, g)
+
+
 def parse_args_2d(argv=None, default_max_epoch=20000):
     p = _common(argparse.ArgumentParser(), dim=2)
     args = p.parse_args(argv)
     if args.max_epoch is None:
         args.max_epoch = default_max_epoch
+    args.mesh = parse_mesh(args.mesh)
     _apply_device(args.device)
     return args
 
@@ -61,6 +85,7 @@ def parse_args_3d(argv=None, default_max_epoch=20000):
     args = p.parse_args(argv)
     if args.max_epoch is None:
         args.max_epoch = default_max_epoch
+    args.mesh = parse_mesh(args.mesh)
     _apply_device(args.device)
     return args
 
@@ -89,10 +114,29 @@ def _enable_persistent_compile_cache(jax):
     cache = os.environ.get(
         "GF_TPU_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache",
-                     "gaussian_fluids_tpu", "jax_cache"))
+                     "gaussian_fluids_tpu", "jax_cache", _host_key()))
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # cache is an optimization; never block the run on it
+
+
+def _host_key() -> str:
+    """Per-host cache subdirectory: XLA:CPU persists AOT executables keyed
+    only by program, so an entry compiled on a host with different CPU
+    features SIGILLs when loaded on this one (observed across container
+    migrations). Hash the feature flags into the cache path."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "default"

@@ -13,3 +13,25 @@ from gaussian_fluids_tpu.parallel.driver import (  # noqa: F401
     make_sharded_clone_chunk, clone_velocity_field_sharded)
 from gaussian_fluids_tpu.parallel.density import (  # noqa: F401
     make_sharded_density_step, advected_density_sharded)
+
+
+def mesh_from_shape(mesh_shape, target_grid_res: int = 0):
+    """CLI-facing mesh construction: (n_batch, n_gauss) -> Mesh, with the
+    validation both advance entry points share. None -> None (single-device
+    path). The sharded epochs evaluate exact per-epoch covector targets, so
+    the cached-target mode is rejected rather than silently ignored."""
+    if mesh_shape is None:
+        return None
+    if target_grid_res:
+        raise ValueError(
+            "--target_grid is unsupported with --mesh: the sharded "
+            "projection/clone epochs evaluate exact per-epoch targets")
+    import jax
+
+    n_batch, n_gauss = mesh_shape
+    n_dev = len(jax.devices())
+    if n_batch * n_gauss > n_dev:
+        raise ValueError(
+            f"--mesh {n_batch}x{n_gauss} needs {n_batch * n_gauss} devices "
+            f"but only {n_dev} are visible")
+    return make_mesh(n_batch, n_gauss)

@@ -164,8 +164,20 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
                start_frame: int = 0, max_epoch: int = 20000,
                batch_size: int = 512, seed: int = 42, viz: bool = True,
                verbose: int = 1, test_res: Optional[tuple] = None,
-               target_grid_res: int = 0):
-    """Frame loop (reference 2D/advance.py:304-365)."""
+               target_grid_res: int = 0,
+               mesh_shape: Optional[tuple] = None):
+    """Frame loop (reference 2D/advance.py:304-365).
+
+    ``mesh_shape`` = (n_batch, n_gauss) routes every clone re-fit and
+    projection epoch through the dp x tp sharded runners
+    (parallel/driver.py) over a Mesh of the first n_batch*n_gauss local
+    devices; the sharded epoch evaluates exact per-epoch targets, so it is
+    mutually exclusive with ``target_grid_res``.
+    """
+    mesh = None
+    if mesh_shape is not None:
+        from gaussian_fluids_tpu.parallel import mesh_from_shape
+        mesh = mesh_from_shape(mesh_shape, target_grid_res)
     scene = get_scene_2d(init_cond)
     sf = scene.scaling_factor
     adv_domain = scene.advance_domain_at(start_frame, dt)
@@ -187,19 +199,37 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
         key, kc, kp = rng.split3(key)
         adv_lo = (adv_domain[0] * sf, adv_domain[2] * sf)
         adv_hi = (adv_domain[1] * sf, adv_domain[3] * sf)
-        new_mix = clone_velocity_field(
-            mix, spec, lo=adv_lo, hi=adv_hi, test_x=test_grid(adv_domain),
-            key=kc, seed=cnt, d=2, max_epoch=max_epoch, verbose=verbose,
-            target_grid_res=target_grid_res)
+        if mesh is None:
+            new_mix = clone_velocity_field(
+                mix, spec, lo=adv_lo, hi=adv_hi,
+                test_x=test_grid(adv_domain), key=kc, seed=cnt, d=2,
+                max_epoch=max_epoch, verbose=verbose,
+                target_grid_res=target_grid_res)
+        else:
+            from gaussian_fluids_tpu.parallel.driver import \
+                clone_velocity_field_sharded
+            new_mix = clone_velocity_field_sharded(
+                mix, spec, mesh=mesh, lo=adv_lo, hi=adv_hi,
+                test_x=test_grid(adv_domain), key=kc, seed=cnt, d=2,
+                batch_size=batch_size, max_epoch=max_epoch, verbose=verbose)
         new_mix = advect_covector_field_2d(new_mix, spec, dt)
         adv_domain = scene.extra_advect(adv_domain, dt)
-        new_mix = project_2d(
-            new_mix, spec, mix, dt, scene=scene, adv_domain=adv_domain,
-            test_x=test_grid(adv_domain), key=kp,
-            weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
-                                   delta_pos=0.5),
-            boundary_lambda=1.0, batch_size=batch_size, max_epoch=max_epoch,
-            verbose=verbose, target_grid_res=target_grid_res)
+        w = ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
+                           delta_pos=0.5)
+        if mesh is None:
+            new_mix = project_2d(
+                new_mix, spec, mix, dt, scene=scene, adv_domain=adv_domain,
+                test_x=test_grid(adv_domain), key=kp, weights=w,
+                boundary_lambda=1.0, batch_size=batch_size,
+                max_epoch=max_epoch, verbose=verbose,
+                target_grid_res=target_grid_res)
+        else:
+            from gaussian_fluids_tpu.parallel.driver import project_2d_sharded
+            new_mix = project_2d_sharded(
+                new_mix, spec, mix, dt, mesh=mesh, scene=scene,
+                adv_domain=adv_domain, test_x=test_grid(adv_domain), key=kp,
+                weights=w, boundary_lambda=1.0, batch_size=batch_size,
+                max_epoch=max_epoch, verbose=verbose)
         mix = new_mix
         if viz:
             _viz_frame(out_dir, str(cnt), mix, spec, scene)

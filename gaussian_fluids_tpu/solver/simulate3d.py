@@ -130,8 +130,18 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
                batch_size: int = 8192, boundary_lambda: float = 10.0,
                seed: int = 42, viz: bool = True, viz_res=None,
                test_res: Optional[tuple] = None, verbose: int = 1,
-               target_grid_res: int = 0):
-    """Frame loop (reference 3D/advance.py:334-393)."""
+               target_grid_res: int = 0,
+               mesh_shape: Optional[tuple] = None):
+    """Frame loop (reference 3D/advance.py:334-393).
+
+    ``mesh_shape`` = (n_batch, n_gauss) routes every clone re-fit and
+    projection epoch through the dp x tp sharded runners
+    (parallel/driver.py); the sharded projection does not collect the
+    per-epoch loss curves, so the loss_{frame}.png plots are skipped."""
+    mesh = None
+    if mesh_shape is not None:
+        from gaussian_fluids_tpu.parallel import mesh_from_shape
+        mesh = mesh_from_shape(mesh_shape, target_grid_res)
     scene = get_scene_3d(init_cond)
     domain = scene.domain
     x_min, x_max, y_min, y_max, z_min, z_max = domain
@@ -151,20 +161,36 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
     t, cnt = 0.0, start_frame + 1
     while t < last_time:
         key, kc, kp = rng.split3(key)
-        new_mix = clone_velocity_field(
-            mix, spec, lo=lo, hi=hi, test_x=test_x, key=kc, seed=cnt, d=3,
-            batch_size=batch_size, max_epoch=max_epoch, verbose=verbose,
-            target_grid_res=target_grid_res)
+        if mesh is None:
+            new_mix = clone_velocity_field(
+                mix, spec, lo=lo, hi=hi, test_x=test_x, key=kc, seed=cnt,
+                d=3, batch_size=batch_size, max_epoch=max_epoch,
+                verbose=verbose, target_grid_res=target_grid_res)
+        else:
+            from gaussian_fluids_tpu.parallel.driver import \
+                clone_velocity_field_sharded
+            new_mix = clone_velocity_field_sharded(
+                mix, spec, mesh=mesh, lo=lo, hi=hi, test_x=test_x, key=kc,
+                seed=cnt, d=3, batch_size=batch_size, max_epoch=max_epoch,
+                verbose=verbose)
         new_mix = advect_covector_field_3d(new_mix, mix, spec, dt)
-        res = project_3d(
-            new_mix, spec, mix, dt, domain=domain, test_x=test_x, key=kp,
-            scene_name=init_cond,
-            weights=ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
-                                   delta_pos=0.0, hel=1.0, val_reg=0.0),
-            boundary_lambda=boundary_lambda, batch_size=batch_size,
-            max_epoch=max_epoch, verbose=verbose, collect_curves=viz,
-            target_grid_res=target_grid_res)
-        if viz:
+        w = ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
+                           delta_pos=0.0, hel=1.0, val_reg=0.0)
+        if mesh is None:
+            res = project_3d(
+                new_mix, spec, mix, dt, domain=domain, test_x=test_x,
+                key=kp, scene_name=init_cond, weights=w,
+                boundary_lambda=boundary_lambda, batch_size=batch_size,
+                max_epoch=max_epoch, verbose=verbose, collect_curves=viz,
+                target_grid_res=target_grid_res)
+        else:
+            from gaussian_fluids_tpu.parallel.driver import project_3d_sharded
+            res = project_3d_sharded(
+                new_mix, spec, mix, dt, mesh=mesh, domain=domain,
+                test_x=test_x, key=kp, scene_name=init_cond, weights=w,
+                boundary_lambda=boundary_lambda, batch_size=batch_size,
+                max_epoch=max_epoch, verbose=verbose)
+        if viz and mesh is None:
             new_mix, curves = res
             _plot_loss_curves(curves, os.path.join(out_dir,
                                                    f"loss_{cnt}.png"))
@@ -469,15 +495,21 @@ class _AsyncVtiWriter:
 
 def advance_density(init_cond: str, out_dir: str, dt: float,
                     res_multiplier: int = 4, grid_res=None,
-                    verbose: int = 1):
+                    verbose: int = 1, mesh_shape: Optional[tuple] = None):
     """Replay loop: seed ring densities, then per saved frame advect and
     write .vti volumes (reference 3D/advance_density.py:87-120). The
     reference hard-codes ring_collide's two rings (:95-96); here every
     scene Ring seeds one density (ring1 -> a, ring2 -> b, ...), so all
     ring scenes replay — identical output for ring_collide. The default
     grid is visualize_res * 4 = 512^3 (reference 3D/advance_density.py:3-7);
-    ``grid_res`` overrides it for smoke tests."""
+    ``grid_res`` overrides it for smoke tests. ``mesh_shape`` shards each
+    semi-Lagrangian step over a (batch, gauss) device mesh
+    (parallel/density.py)."""
     from gaussian_fluids_tpu.scenes.fields3d import Ring
+    mesh = None
+    if mesh_shape is not None:
+        from gaussian_fluids_tpu.parallel import mesh_from_shape
+        mesh = mesh_from_shape(mesh_shape)
     scene = get_scene_3d(init_cond)
     domain = scene.domain
     xn, yn, zn = grid_res or tuple(r * res_multiplier
@@ -506,8 +538,14 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
         mix, spec = checkpoint.load_checkpoint(path)
         frame += 1
         for i, tag in enumerate(tags):
-            dens[i] = advected_density(dens[i], mix, spec, domain, dt,
-                                       (xn, yn, zn))
+            if mesh is None:
+                dens[i] = advected_density(dens[i], mix, spec, domain, dt,
+                                           (xn, yn, zn))
+            else:
+                from gaussian_fluids_tpu.parallel.density import \
+                    advected_density_sharded
+                dens[i] = advected_density_sharded(
+                    dens[i], mix, spec, domain, dt, (xn, yn, zn), mesh)
             writer.submit(dens[i], origin, spacing,
                           os.path.join(out_dir,
                                        f"density_{tag}_{frame}.vti"))
