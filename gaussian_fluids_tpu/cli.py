@@ -91,10 +91,23 @@ def parse_args_3d(argv=None, default_max_epoch=20000):
 
 
 def _apply_device(device: str):
+    """Honor the reference's --device semantics (2D/GSR.py:26-30: pick ONE
+    device by index via CUDA_VISIBLE_DEVICES). 'cpu' forces the CPU
+    platform; a nonzero index K selects jax.local_devices()[K] as the
+    default device on multi-device hosts (K=0 keeps the default without
+    initializing the backend early)."""
     import jax
 
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    elif device.isdigit() and int(device) > 0:
+        k = int(device)
+        devs = jax.local_devices()
+        if k < len(devs):
+            jax.config.update("jax_default_device", devs[k])
+        else:
+            print(f"[cli] --device {k} ignored: only {len(devs)} local "
+                  f"device(s) visible")
     _enable_persistent_compile_cache(jax)
 
 

@@ -268,50 +268,6 @@ def _pad_axis(a: jnp.ndarray, mult: int, axis: int = 0,
     return jnp.pad(a, widths, constant_values=fill)
 
 
-def _auto_tb(b: int) -> int:
-    # measured on v5e (scripts/bench_tiles.py): big batches favour tall
-    # query tiles; small batches must not pad up.
-    return 1024 if b >= 4096 else 256
-
-
-def value_and_jac_pallas(mix: GaussianMixture, spec: FieldSpec,
-                         x: jnp.ndarray, tb: int = 0,
-                         tn: int = 512) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Same semantics as ``value_and_jac`` via the fused Pallas kernel
-    (ops/pallas/gsr_kernel.py): the (B, N) kernel matrix never leaves VMEM.
-    Dead/out-of-domain Gaussians get +1e9 on their quad-form bias so g
-    underflows to exactly 0."""
-    from gaussian_fluids_tpu.ops.pallas.gsr_kernel import fused_gsr_matmul
-    if x.ndim != 2 or x.shape[1] != mix.d:
-        raise ValueError(
-            f"query points must have shape (B, {mix.d}); got {x.shape}")
-    d, vdim = mix.d, mix.vdim
-    b = x.shape[0]
-    tb = tb or _auto_tb(b)
-    W, P, pm = _quad_weights(mix)
-    dead = ~in_domain_mask(mix, spec)
-    W = W.at[:, -1].add(jnp.where(dead, 1e9, 0.0))
-    feat = _quad_features(x, d)
-
-    vP = jnp.einsum("na,nkj->nakj", mix.values, P).reshape(-1, vdim * d * d)
-    vpm = jnp.einsum("na,nk->nak", mix.values, pm).reshape(-1, vdim * d)
-    rhs = jnp.concatenate([mix.values, vP, vpm], axis=-1)
-
-    feat_p = _pad_axis(feat, tb, axis=0)
-    # N is bucket-padded already; pad to tn regardless.
-    W_p = _pad_axis(W, tn, axis=0)
-    W_p = W_p.at[mix.capacity:, -1].set(1e9)  # padded rows never fire
-    rhs_p = _pad_axis(rhs, tn, axis=0)
-
-    out = fused_gsr_matmul(feat_p, W_p, rhs_p, vdim,
-                           float(spec.clamp_threshold), tb, tn)[:b]
-    val = out[:, :vdim]
-    t1 = out[:, vdim:vdim + vdim * d * d].reshape(b, vdim, d, d)
-    t2 = out[:, vdim + vdim * d * d:].reshape(b, vdim, d)
-    jac = -(jnp.einsum("bakj,bj->bak", t1, x) - t2)
-    return val, jac
-
-
 def support_radius(scalings: jnp.ndarray, clamp: float) -> jnp.ndarray:
     """(N,) support radius: g >= clamp implies |x - mu| <= this — the
     reference's dynamic search radius sqrt(-2 ln c) e^{-min s}
@@ -459,36 +415,6 @@ def value_centered(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
                              need_dx)[:b]
     val = out[:, :vdim]
     return val[inv] if inv is not None else val
-
-
-def value_pallas(mix: GaussianMixture, spec: FieldSpec,
-                 x: jnp.ndarray, tb: int = 0,
-                 tn: int = 512) -> jnp.ndarray:
-    """Value-only fused Pallas path: rhs carries just the velocity
-    coefficients (plus one zero column so the kernel's grad-weighted matmul
-    has nonzero width), so the big (B, N) contraction is vdim-wide instead
-    of the full Jacobian packing."""
-    from gaussian_fluids_tpu.ops.pallas.gsr_kernel import fused_gsr_matmul
-    if x.ndim != 2 or x.shape[1] != mix.d:
-        raise ValueError(
-            f"query points must have shape (B, {mix.d}); got {x.shape}")
-    vdim = mix.vdim
-    b = x.shape[0]
-    tb = tb or _auto_tb(b)
-    W, _, _ = _quad_weights(mix)
-    dead = ~in_domain_mask(mix, spec)
-    W = W.at[:, -1].add(jnp.where(dead, 1e9, 0.0))
-    feat = _quad_features(x, mix.d)
-
-    rhs = jnp.concatenate(
-        [mix.values, jnp.zeros((mix.capacity, 1), mix.values.dtype)], axis=-1)
-    feat_p = _pad_axis(feat, tb, axis=0)
-    W_p = _pad_axis(W, tn, axis=0)
-    W_p = W_p.at[mix.capacity:, -1].set(1e9)
-    rhs_p = _pad_axis(rhs, tn, axis=0)
-    out = fused_gsr_matmul(feat_p, W_p, rhs_p, vdim,
-                           float(spec.clamp_threshold), tb, tn)[:b]
-    return out[:, :vdim]
 
 
 def two_head_grads_centered(params, alive, spec: FieldSpec, x: jnp.ndarray,

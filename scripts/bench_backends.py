@@ -1,4 +1,4 @@
-"""Micro-benchmark: dense XLA vs fused Pallas value_and_jac (fwd+grad) at
+"""Micro-benchmark: dense XLA vs centered Pallas value_and_jac (fwd+grad) at
 several workload scales. Reps run inside one jitted lax.scan with a carried
 data dependency, so the device must execute every iteration (a host-side
 timing loop under the tunneled runtime under-measures).
@@ -52,7 +52,7 @@ def run(tag, n_side, d, vdim, B):
                                p["rotations"], p["values"], a)
 
     for name, vj in [("dense", field.value_and_jac),
-                     ("pallas", field.value_and_jac_pallas)]:
+                     ("pallas", field.value_and_jac_centered)]:
         def loss(p, key):
             x = jax.random.uniform(key, (B, d), jnp.float32, -5.0, 5.0)
             val, jac = vj(mk(p, alive), spec, x)

@@ -1,4 +1,4 @@
-"""Culled (cell-list) vs Pallas-dense value_and_jac at 3D scale, with
+"""Culled (cell-list) vs centered-Pallas value_and_jac at 3D scale, with
 per-step grid rebuild and gradients, scan-timed on the real TPU.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_culled.py
@@ -59,7 +59,7 @@ def run(tag, n_side, d, vdim, B):
 
     def loss_pallas(p, key):
         x = jax.random.uniform(key, (B, d), jnp.float32, -5.0, 5.0)
-        val, jac = field.value_and_jac_pallas(mk(p), spec, x)
+        val, jac = field.value_and_jac_centered(mk(p), spec, x)
         return jnp.abs(val).mean() + jnp.abs(jac).mean()
 
     for name, loss in [("culled", loss_culled), ("pallas", loss_pallas)]:

@@ -23,67 +23,6 @@ def _mix(n, d, seed):
     return GaussianMixture(mix.positions, sca, rot, val, mix.alive), spec
 
 
-@pytest.mark.parametrize("d", [2, 3])
-def test_pallas_forward_matches_dense(d):
-    mix, spec = _mix(100, d, seed=d)
-    rng = np.random.RandomState(7)
-    x = jnp.asarray(rng.uniform(-5, 5, (70, d)), jnp.float32)  # odd B: pad
-    v_d, j_d = field.value_and_jac(mix, spec, x)
-    v_p, j_p = field.value_and_jac_pallas(mix, spec, x, tb=64, tn=256)
-    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_d),
-                               rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(j_p), np.asarray(j_d),
-                               rtol=1e-3, atol=1e-5)
-
-
-def test_pallas_gradients_match_dense():
-    mix, spec = _mix(80, 2, seed=3)
-    rng = np.random.RandomState(5)
-    x = jnp.asarray(rng.uniform(-4, 4, (64, 2)), jnp.float32)
-
-    def loss(p, impl):
-        m = mix.with_params(p)
-        v, j = impl(m, spec, x)
-        return (jnp.abs(v).mean() + jnp.abs(j).mean()
-                + (v * v).mean())
-
-    gd = jax.grad(lambda p: loss(p, field.value_and_jac))(mix.params())
-    gp = jax.grad(lambda p: loss(
-        p, lambda m, s, q: field.value_and_jac_pallas(m, s, q, tb=64,
-                                                      tn=256)))(mix.params())
-    for k in gd:
-        np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(gd[k]),
-                                   rtol=5e-3, atol=1e-5, err_msg=k)
-
-
-def test_pallas_padding_and_dead_gaussians():
-    mix, spec = _mix(60, 2, seed=9)
-    # kill half the gaussians; move some outside the domain
-    alive = mix.alive.at[10:20].set(False)
-    pos = mix.positions.at[25:30].set(jnp.asarray([50.0, 50.0]))
-    mix2 = GaussianMixture(pos, mix.scalings, mix.rotations, mix.values,
-                           alive)
-    x = jnp.asarray(np.random.RandomState(1).uniform(-4, 4, (33, 2)),
-                    jnp.float32)
-    v_d, j_d = field.value_and_jac(mix2, spec, x)
-    v_p, j_p = field.value_and_jac_pallas(mix2, spec, x, tb=64, tn=256)
-    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_d),
-                               rtol=1e-3, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(j_p), np.asarray(j_d),
-                               rtol=1e-3, atol=1e-5)
-
-
-@pytest.mark.parametrize("d", [2, 3])
-def test_pallas_value_only_matches_dense(d):
-    mix, spec = _mix(90, d, seed=11)
-    rng = np.random.RandomState(13)
-    x = jnp.asarray(rng.uniform(-5, 5, (70, d)), jnp.float32)
-    v_d = field.value_dense(mix, spec, x)
-    v_p = field.value_pallas(mix, spec, x, tb=64, tn=256)
-    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_d),
-                               rtol=1e-3, atol=1e-5)
-
-
 def test_backend_dispatch_env(monkeypatch):
     mix, spec = _mix(40, 2, seed=1)
     x = jnp.asarray(np.random.RandomState(2).uniform(-4, 4, (16, 2)),
