@@ -12,4 +12,5 @@ if __name__ == "__main__":
     with maybe_trace(args.profile):
         advance_density(args.init_cond, args.dir, args.dt,
                         res_multiplier=args.density_res_multiplier,
-                        mesh_shape=args.mesh)
+                        mesh_shape=args.mesh,
+                        start_frame=args.start_frame)

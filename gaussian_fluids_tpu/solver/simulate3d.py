@@ -495,7 +495,8 @@ class _AsyncVtiWriter:
 
 def advance_density(init_cond: str, out_dir: str, dt: float,
                     res_multiplier: int = 4, grid_res=None,
-                    verbose: int = 1, mesh_shape: Optional[tuple] = None):
+                    verbose: int = 1, mesh_shape: Optional[tuple] = None,
+                    start_frame: int = 0):
     """Replay loop: seed ring densities, then per saved frame advect and
     write .vti volumes (reference 3D/advance_density.py:87-120). The
     reference hard-codes ring_collide's two rings (:95-96); here every
@@ -504,7 +505,13 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
     grid is visualize_res * 4 = 512^3 (reference 3D/advance_density.py:3-7);
     ``grid_res`` overrides it for smoke tests. ``mesh_shape`` shards each
     semi-Lagrangian step over a (batch, gauss) device mesh
-    (parallel/density.py)."""
+    (parallel/density.py).
+
+    ``start_frame`` resumes an interrupted replay from its own
+    ``density_{tag}_{start_frame}.vti`` outputs instead of re-advecting
+    from the seeds (the density state is sequential, so restarting from
+    frame 0 repeats hours of 512^3 sweeps). New scope over the reference,
+    which always replays from the seeds (3D/advance_density.py:98-107)."""
     from gaussian_fluids_tpu.scenes.fields3d import Ring
     mesh = None
     if mesh_shape is not None:
@@ -519,18 +526,24 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
     if not rings:
         raise NotImplementedError(
             f"scene '{init_cond}' defines no rings to seed densities from")
-    dens = [interp.seed_ring_density((xn, yn, zn), domain, r.center,
-                                     r.normal, r.radius, r.thickness)
-            for r in rings]
-    tags = [chr(ord("a") + i) for i in range(len(dens))]
+    tags = [chr(ord("a") + i) for i in range(len(rings))]
     spacing = tuple((domain[2 * i + 1] - domain[2 * i]) / s
                     for i, s in enumerate((xn, yn, zn)))
     origin = (domain[0], domain[2], domain[4])
-    frame = 0
     writer = _AsyncVtiWriter()
-    for tag, d in zip(tags, dens):
-        writer.submit(d, origin, spacing,
-                      os.path.join(out_dir, f"density_{tag}_{frame}.vti"))
+    if start_frame > 0:
+        from gaussian_fluids_tpu.io import vti
+        frame = start_frame
+        dens = [jnp.asarray(vti.read_vti_array(os.path.join(
+            out_dir, f"density_{tag}_{frame}.vti"))) for tag in tags]
+    else:
+        frame = 0
+        dens = [interp.seed_ring_density((xn, yn, zn), domain, r.center,
+                                         r.normal, r.radius, r.thickness)
+                for r in rings]
+        for tag, d in zip(tags, dens):
+            writer.submit(d, origin, spacing,
+                          os.path.join(out_dir, f"density_{tag}_{frame}.vti"))
     while True:
         path = os.path.join(out_dir, f"gaussian_velocity_{frame}.pt")
         if not os.path.exists(path):

@@ -120,6 +120,43 @@ def test_density_pipeline_tiny(tmp_path):
     assert d1.sum() > 0  # the ring moved but did not vanish
 
 
+def test_density_replay_resume(tmp_path):
+    """``start_frame`` resumes an interrupted replay from its own .vti
+    outputs: advecting frames [0, 2] in one go must equal advecting frame
+    0, then resuming from density_{tag}_1.vti (the state round-trips
+    bitwise through the raw-f32 writer)."""
+    from gaussian_fluids_tpu.io import checkpoint
+    from gaussian_fluids_tpu.solver.simulate3d import advance_density
+    spec = FieldSpec.create((0, 0, 0), (1, 1, 1), 27, d=3, vdim=3)
+    pos = np.stack(np.meshgrid(*([np.linspace(0.2, 0.8, 3)] * 3),
+                               indexing="ij"), -1).reshape(-1, 3)
+    mix = GaussianMixture.create(pos, spec)
+    mix = GaussianMixture(mix.positions, mix.scalings, mix.rotations,
+                          mix.values.at[:, 0].set(
+                              0.05 * np.asarray(mix.alive)), mix.alive)
+    full, res = str(tmp_path / "full"), str(tmp_path / "res")
+    for out in (full, res):
+        os.makedirs(out)
+        for f in (0, 1):
+            checkpoint.save_checkpoint(
+                os.path.join(out, f"gaussian_velocity_{f}.pt"), mix, spec)
+    advance_density("ring_collide", full, dt=0.02, grid_res=(32, 32, 32),
+                    verbose=0)
+    # interrupted replay: only frame 0's checkpoint visible first
+    os.rename(os.path.join(res, "gaussian_velocity_1.pt"),
+              os.path.join(res, "hidden.pt"))
+    advance_density("ring_collide", res, dt=0.02, grid_res=(32, 32, 32),
+                    verbose=0)
+    os.rename(os.path.join(res, "hidden.pt"),
+              os.path.join(res, "gaussian_velocity_1.pt"))
+    advance_density("ring_collide", res, dt=0.02, grid_res=(32, 32, 32),
+                    verbose=0, start_frame=1)
+    for tag in ("a", "b"):
+        want = vti.read_vti_array(os.path.join(full, f"density_{tag}_2.vti"))
+        got = vti.read_vti_array(os.path.join(res, f"density_{tag}_2.vti"))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_density_pipeline_single_ring(tmp_path):
     """Generalized seeding: one density per scene Ring (the reference
     hard-codes ring_collide's two; single_vortex_ring has one)."""
