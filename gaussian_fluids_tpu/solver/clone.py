@@ -16,6 +16,7 @@ row skips, 2D/GSR.py:291-292).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Dict, Optional, Tuple
 
@@ -217,23 +218,34 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
         total = l_val + l_grad + l_aniso + l_vol
         return total, jnp.stack([l_val, l_grad, l_aniso, l_vol])
 
-    def epoch(carry, key):
+    def epoch(carry, xs):
+        # xs is a tuple when run_chunk hoisted the chunk's sample batches
+        # and exact old-field targets out of the scan (the Pallas regime;
+        # bitwise-identical math, see solver/project.py run_chunk), a
+        # bare key otherwise.
+        hoisted = isinstance(xs, tuple)
+        if hoisted:
+            key, x, ref_val, ref_jac = xs
+        else:
+            key = xs
         if target_grid is not None:
             (params, opt_state, alive, stop, old_params, old_alive,
              lo, hi, tgt) = carry
         else:
             (params, opt_state, alive, stop, old_params, old_alive,
              lo, hi) = carry
-        x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
-            * (hi - lo) + lo
-        if field._use_pallas(batch_size, params["positions"].shape[0]):
-            x = x[jnp.argsort(x[:, 0])]   # sort once; evals run presorted
-            # (dense backend ignores the hint — skip the pure-overhead sort)
-        if target_grid is not None:
-            ref_val, ref_jac = _interp(tgt, x, lo, hi)
-        else:
-            ref_val, ref_jac = field.value_and_jac(
-                _mixf(old_params, old_alive), spec, x, presorted=True)
+        if not hoisted:
+            x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
+                * (hi - lo) + lo
+            if field._use_pallas(batch_size, params["positions"].shape[0]):
+                x = x[jnp.argsort(x[:, 0])]  # sort once; evals presorted
+                # (dense backend ignores the hint — skip the pure-overhead
+                # sort)
+            if target_grid is not None:
+                ref_val, ref_jac = _interp(tgt, x, lo, hi)
+            else:
+                ref_val, ref_jac = field.value_and_jac(
+                    _mixf(old_params, old_alive), spec, x, presorted=True)
         ref_val = jax.lax.stop_gradient(ref_val)
         ref_jac = jax.lax.stop_gradient(ref_jac)
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -248,7 +260,33 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(carry, key, n):
         keys = jax.random.split(key, n)
-        return jax.lax.scan(epoch, carry, keys)
+        params = carry[0]
+        old_params, old_alive, lo, hi = carry[4], carry[5], carry[6], \
+            carry[7]
+        if (target_grid is not None
+                or os.environ.get("GF_HOIST_TARGETS", "1") == "0"
+                or not field._use_pallas(
+                    batch_size, params["positions"].shape[0])):
+            return jax.lax.scan(epoch, carry, keys)
+        # Exact-target hoist (Pallas regime): the old field is frozen for
+        # the whole re-fit, so the chunk's [val, jac] targets come from a
+        # few big batched sweeps instead of one small eval per epoch —
+        # bitwise-identical, pure launch amortization (see
+        # solver/project.py run_chunk).
+        from gaussian_fluids_tpu.utils.grids import sweep_group
+        old_mix = _mixf(old_params, old_alive)
+        data = jax.vmap(
+            lambda k: jax.random.uniform(k, (batch_size, d), jnp.float32)
+            * (hi - lo) + lo)(keys)
+        data = jax.vmap(lambda x: x[jnp.argsort(x[:, 0])])(data)
+        g = sweep_group(n, batch_size)
+        rv, rj = jax.lax.map(
+            lambda c: field.value_and_jac(old_mix, spec, c, presorted=True),
+            data.reshape(n // g, g * batch_size, d))
+        return jax.lax.scan(
+            epoch, carry,
+            (keys, data, rv.reshape((n, batch_size) + rv.shape[2:]),
+             rj.reshape((n, batch_size) + rj.shape[2:])))
 
     def _pad_chunks(test_x, b):
         return pad_chunks(test_x, d, b)

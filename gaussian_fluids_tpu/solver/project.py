@@ -25,6 +25,7 @@ same way.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Dict, NamedTuple, Optional
 
@@ -37,7 +38,7 @@ from gaussian_fluids_tpu.models.mixture import GaussianMixture, mixture_of
 from gaussian_fluids_tpu.ops import field
 from gaussian_fluids_tpu.solver import covector, losses, optim
 from gaussian_fluids_tpu.solver.loop import Patience, run_chunked
-from gaussian_fluids_tpu.utils.grids import pad_chunks
+from gaussian_fluids_tpu.utils.grids import pad_chunks, sweep_group
 from gaussian_fluids_tpu.utils import rng
 
 
@@ -86,7 +87,16 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
     bs1, bs2 = scene.boundary_sampler_1, scene.boundary_sampler_2
     sf = scene.scaling_factor
 
-    def epoch(carry, key):
+    def epoch(carry, xs):
+        # xs is a tuple when run_chunk hoisted the chunk's sample batches
+        # and exact covector targets out of the scan (the Pallas regime;
+        # bitwise-identical math, see the 3D run_chunk), a bare key
+        # otherwise.
+        hoisted = isinstance(xs, tuple)
+        if hoisted:
+            key, data, ref_vor = xs
+        else:
+            key = xs
         if target_grid is not None:
             (params, opt_state, alive, positions_org, old_params,
              old_alive, adv, dt, tgt) = carry
@@ -97,16 +107,19 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         kd, kb1, kb2 = jax.random.split(key, 3)
         lo = jnp.stack([adv[0], adv[2]]) * sf
         hi = jnp.stack([adv[1], adv[3]]) * sf
-        data = _uniform_batch(kd, batch_size, lo, hi)
         # sort once per epoch (losses are batch means): every eval below
         # skips its internal coordinate sort. The sort only tightens the
         # Pallas tile mask — on the dense backend it is pure overhead, so
         # gate it on the same static dispatch predicate.
         sorting = field._use_pallas(batch_size,
                                     params["positions"].shape[0])
-        if sorting:
-            data = data[jnp.argsort(data[:, 0])]
-        if target_grid is not None:
+        if not hoisted:
+            data = _uniform_batch(kd, batch_size, lo, hi)
+            if sorting:
+                data = data[jnp.argsort(data[:, 0])]
+        if hoisted:
+            ref_vor = jax.lax.stop_gradient(ref_vor)
+        elif target_grid is not None:
             # cached-target mode (see _runner_3d): the exact covector
             # targets were precomputed once on a grid over the (runtime)
             # advance domain; interpolate instead of re-running the RK4
@@ -173,7 +186,31 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(carry, key, n):
         keys = jax.random.split(key, n)
-        return jax.lax.scan(epoch, carry, keys)
+        params = carry[0]
+        old_params, old_alive, adv, dt = carry[4], carry[5], carry[6], \
+            carry[7]
+        if (target_grid is not None
+                or os.environ.get("GF_HOIST_TARGETS", "1") == "0"
+                or not field._use_pallas(
+                    batch_size, params["positions"].shape[0])):
+            return jax.lax.scan(epoch, carry, keys)
+        # Exact-target hoist (Pallas regime) — see the 3D run_chunk for
+        # the full rationale; bitwise-identical targets, launches
+        # amortized over the whole chunk.
+        old_mix = _mix(old_params, old_alive)
+        lo = jnp.stack([adv[0], adv[2]]) * sf
+        hi = jnp.stack([adv[1], adv[3]]) * sf
+        kds = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
+        data = jax.vmap(
+            lambda k: _uniform_batch(k, batch_size, lo, hi))(kds)
+        data = jax.vmap(lambda x: x[jnp.argsort(x[:, 0])])(data)
+        g = sweep_group(n, batch_size)
+        vor = jax.lax.map(
+            lambda c: covector.advected_vorticity_2d(old_mix, spec, c, dt,
+                                                     lo, hi, presorted=True),
+            data.reshape(n // g, g * batch_size, 2))
+        return jax.lax.scan(epoch, carry,
+                            (keys, data, vor.reshape(n, batch_size)))
 
     def _pad_chunks(test_x, b):
         return pad_chunks(test_x, 2, b)
@@ -322,19 +359,28 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
     hi_j = jnp.asarray(hi, jnp.float32)
     domain6 = (lo[0], hi[0], lo[1], hi[1], lo[2], hi[2])
 
-    def epoch(carry, key):
+    def epoch(carry, xs):
+        # xs is a tuple when run_chunk hoisted the chunk's sample batches
+        # and exact covector targets out of the scan (the Pallas regime;
+        # bitwise-identical math, see run_chunk), a bare key otherwise.
+        hoisted = isinstance(xs, tuple)
+        if hoisted:
+            key, data, ref_vor, ref_hel = xs
+        else:
+            key = xs
         if target_grid is not None:
             (params, opt_state, alive, old_params, old_alive, dt,
              tgt) = carry
         else:
             (params, opt_state, alive, old_params, old_alive, dt) = carry
         old_mix = _mix(old_params, old_alive)
-        kd, kb = jax.random.split(key)
-        data = _uniform_batch(kd, batch_size, lo_j, hi_j)
+        kd, kb = jax.random.split(key)   # kd consumed by the hoist if any
         sorting = field._use_pallas(batch_size,
                                     params["positions"].shape[0])
-        if sorting:
-            data = data[jnp.argsort(data[:, 0])]   # sort once per epoch
+        if not hoisted:
+            data = _uniform_batch(kd, batch_size, lo_j, hi_j)
+            if sorting:
+                data = data[jnp.argsort(data[:, 0])]  # sort once per epoch
         if target_grid is not None:
             # cached-target mode: the exact covector targets were
             # precomputed once on a regular grid (the old field is frozen
@@ -346,6 +392,9 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
             ref = multi_channel_interp(tgt, data, domain6)
             ref_vor = jax.lax.stop_gradient(ref[:, :3])
             ref_hel = jax.lax.stop_gradient(ref[:, 3])
+        elif hoisted:
+            ref_vor = jax.lax.stop_gradient(ref_vor)
+            ref_hel = jax.lax.stop_gradient(ref_hel)
         else:
             ref_vor, ref_hel = covector.advected_vorticity_3d(
                 old_mix, spec, data, dt, presorted=True)
@@ -397,7 +446,35 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(carry, key, n):
         keys = jax.random.split(key, n)
-        return jax.lax.scan(epoch, carry, keys)
+        params = carry[0]
+        old_params, old_alive, dt = carry[3], carry[4], carry[5]
+        if (target_grid is not None
+                or os.environ.get("GF_HOIST_TARGETS", "1") == "0"
+                or not field._use_pallas(
+                    batch_size, params["positions"].shape[0])):
+            return jax.lax.scan(epoch, carry, keys)
+        # Exact-target hoist (Pallas regime): the old field is frozen for
+        # the whole projection, so the chunk's n sample batches and their
+        # covector targets are computed HERE in a few big batched RK4
+        # sweeps instead of 5 small val+jac evals per epoch inside the
+        # scan. Same keys, same sort, same kernels per row — the targets
+        # are bitwise-identical to the in-loop computation (per-row
+        # reductions; tile-aligned because batch_size % tb == 0), so this
+        # is pure launch-amortization, not an approximation (contrast
+        # --target_grid). Measured A/B in BASELINE.md.
+        old_mix = _mix(old_params, old_alive)
+        kds = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        data = jax.vmap(
+            lambda k: _uniform_batch(k, batch_size, lo_j, hi_j))(kds)
+        data = jax.vmap(lambda x: x[jnp.argsort(x[:, 0])])(data)
+        g = sweep_group(n, batch_size)
+        vor, hel = jax.lax.map(
+            lambda c: covector.advected_vorticity_3d(old_mix, spec, c, dt,
+                                                     presorted=True),
+            data.reshape(n // g, g * batch_size, 3))
+        return jax.lax.scan(
+            epoch, carry, (keys, data, vor.reshape(n, batch_size, 3),
+                           hel.reshape(n, batch_size)))
 
     def _pad_chunks(test_x, b):
         return pad_chunks(test_x, 3, b)

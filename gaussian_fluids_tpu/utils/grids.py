@@ -11,6 +11,18 @@ from __future__ import annotations
 import numpy as np
 
 
+def sweep_group(n: int, b: int, cap: int = 262144) -> int:
+    """Largest divisor g of n with g*b <= cap (min 1): how many epochs'
+    sample batches share one hoisted exact-target sweep (solver/project,
+    solver/clone). Bigger sweeps amortize per-launch overhead; ``cap``
+    bounds the sweep's working set (at cap the 3D val+jac output is ~13 MB
+    and every intermediate is tile-local in the Pallas kernel)."""
+    g = max(1, min(n, cap // max(b, 1)))
+    while n % g:
+        g -= 1
+    return g
+
+
 def grid_points_2d(x_min, x_max, y_min, y_max, x_n, y_n) -> np.ndarray:
     xs = np.linspace(x_min, x_max, x_n, dtype=np.float32)
     ys = np.linspace(y_min, y_max, y_n, dtype=np.float32)
