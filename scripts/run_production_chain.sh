@@ -57,10 +57,33 @@ EOF
 run rc_init    python initialize3d.py --init_cond ring_collide --dir output_3d_ring_collide
 adv rc_advance output_3d_ring_collide .1 2 python advance3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
 
+# density replay with auto-resume: restart from the last frame k for which
+# EVERY density tag's .vti exists (a crash mid-frame leaves tag 'a' one
+# frame ahead of tag 'b'; min-of-maxes recomputes the torn frame safely).
+dns() {
+  name=$1 dir=$2; shift 2
+  if [ -e "$LOGDIR/$name.done" ]; then echo "skip $name (done)"; return; fi
+  k=$(python - "$dir" <<'PY'
+import collections, glob, os, re, sys
+per = collections.defaultdict(set)
+for f in glob.glob(os.path.join(sys.argv[1], 'density_*_*.vti')):
+    if m := re.fullmatch(r'density_([a-z])_(\d+)\.vti', os.path.basename(f)):
+        per[m.group(1)].add(int(m.group(2)))
+print(min((max(v) for v in per.values()), default=0) if per else 0)
+PY
+)
+  if [ "$k" != "0" ]; then
+    echo "--- $name resuming from density frame $k" | tee -a "$LOGDIR/chain.log"
+    run "$name" "$@" --start_frame "$k"
+  else
+    run "$name" "$@"
+  fi
+}
+
 # FULL 512^3 density replay over the whole ring_collide checkpoint sequence
 # (reference 3D/advance_density.py: res = visualize_res*4 = 512, replay
 # until gaussian_velocity_{frame}.pt is missing).
-run rc_density python advance_density3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
+dns rc_density output_3d_ring_collide python advance_density3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
 
 # taylor_vortex 2D: dt=.01, t=4 -> 400 frames (reference README.md:71)
 run tv_init    python initialize2d.py --init_cond taylor_vortex --dir output_tv
