@@ -150,3 +150,49 @@ def test_analyze_ring3d_mesh_flux(tmp_path):
     rows = [l for l in out.splitlines()
             if l and not l.startswith("#") and l.lstrip()[0].isdigit()]
     assert len(rows) == 2
+
+
+@pytest.mark.slow
+def test_analyze_density3d(tmp_path):
+    """Synthesize a 2-frame, 2-tag .vti smoke sequence (a translated blob:
+    max preserved, mass identical) and check the analyzer reports every
+    frame and passes the convexity invariants."""
+    from gaussian_fluids_tpu.io.vti import write_vti_array
+    n = 10  # centers chosen on grid nodes so the sampled max is identical
+    g = np.arange(n) / n
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+
+    def blob(cx):
+        return np.exp(-(((X - cx) ** 2 + (Y - .5) ** 2 + (Z - .5) ** 2)
+                        / 0.02)).astype(np.float32)
+
+    for tag, c0, c1 in (("a", 0.3, 0.4), ("b", 0.7, 0.6)):
+        for i, c in enumerate((c0, c1)):
+            write_vti_array(blob(c), (0, 0, 0), (1 / n,) * 3,
+                            os.path.join(tmp_path, f"density_{tag}_{i}.vti"))
+    out = _run("analyze_density3d.py", str(tmp_path))
+    assert "invariants OK" in out
+    assert out.count("== density") == 2
+
+
+@pytest.mark.slow
+def test_analyze_density3d_flags_growing_max(tmp_path):
+    """A frame whose max grows (impossible under trilinear backtrace)
+    must fail the invariant gate with a nonzero exit."""
+    from gaussian_fluids_tpu.io.vti import write_vti_array
+    n = 8
+    V = np.zeros((n, n, n), np.float32)
+    V[4, 4, 4] = 1.0
+    write_vti_array(V, (0, 0, 0), (1 / n,) * 3,
+                    os.path.join(tmp_path, "density_a_0.vti"))
+    write_vti_array(2.0 * V, (0, 0, 0), (1 / n,) * 3,
+                    os.path.join(tmp_path, "density_a_1.vti"))
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""), JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "analyze_density3d.py"),
+         str(tmp_path)], capture_output=True, text=True, timeout=300,
+        env=env)
+    assert r.returncode == 1
+    assert "max grew" in r.stdout
