@@ -196,3 +196,19 @@ def test_analyze_density3d_flags_growing_max(tmp_path):
         env=env)
     assert r.returncode == 1
     assert "max grew" in r.stdout
+
+
+@pytest.mark.slow
+def test_report_runs(tmp_path):
+    """report_runs aggregates frame count, N growth and mtime wall stats
+    from a synthesized run directory."""
+    run = _write_run(str(tmp_path), (-1.0, -1.0), (1.0, 1.0), 24, 2,
+                     frames=4)
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""), JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "report_runs.py"),
+         run], capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "frames 0..3 (4 ckpts)" in r.stdout
+    assert "median 10.0 s" in r.stdout  # _write_run spaces mtimes 10 s
