@@ -1,0 +1,36 @@
+#!/bin/bash
+# Snapshot the (gitignored, wipe-prone) production-run state into the
+# TRACKED runs_r2_evidence/ directory and commit it. The machine hosting
+# this repo has restarted twice mid-round, wiping runs_r2/ and output_*/;
+# committed snapshots are the only evidence that survives.
+#
+# Captures:
+#   - runs_r2/chain.log + .done markers (chain progress)
+#   - the tail of each per-config log (loss/epoch prints)
+#   - scripts/report_runs.py aggregate over every output_* dir
+# Usage: bash scripts/snapshot_runs.sh [commit message suffix]
+set -u
+cd "$(dirname "$0")/.."
+EV=runs_r2_evidence
+mkdir -p "$EV"
+
+[ -f runs_r2/chain.log ] && cp runs_r2/chain.log "$EV/chain.log"
+ls runs_r2/*.done >/dev/null 2>&1 && ls runs_r2/*.done | xargs -n1 basename > "$EV/done_markers.txt"
+for f in runs_r2/*.log; do
+  [ -e "$f" ] || continue
+  b=$(basename "$f")
+  [ "$b" = chain.log ] && continue
+  { echo "# tail -400 of $f ($(date -u +%FT%TZ))"; tail -400 "$f"; } > "$EV/$b.tail"
+done
+
+dirs=$(ls -d output_* 2>/dev/null || true)
+if [ -n "$dirs" ]; then
+  timeout 600 python scripts/report_runs.py $dirs > "$EV/report_runs.txt" 2>&1 || true
+fi
+
+git add "$EV" >/dev/null
+if git diff --cached --quiet; then
+  echo "snapshot: no change"
+else
+  git commit -q -m "Run-evidence snapshot: ${1:-chain progress}" && echo "snapshot committed"
+fi
