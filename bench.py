@@ -19,6 +19,8 @@ measurement is cached in BENCH_BASELINE.json.
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -29,6 +31,48 @@ BATCH = 512
 EPOCHS_TIMED = 1000
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_BASELINE.json")
+
+
+_CHAIN_PIDFILES = {"/tmp/chain.pid": "run_production_chain",
+                   "/tmp/watcher.pid": "evidence_watcher"}
+
+
+def _preempt_chain():
+    """Stop a running production chain before touching the TPU.
+
+    The tunneled TPU is exclusive: a second JAX client blocks until the
+    holder exits (measured 2026-08-20), so a bench launched while
+    scripts/run_production_chain2.sh is mid-config would hang for hours.
+    The chain is resumable by design (it restarts from the last checkpoint
+    in output_*/), so terminating it loses at most one frame. Only
+    processes recorded in the pidfiles — and verified by /proc cmdline to
+    be ours — are signalled; no pattern matching.
+    """
+    for pidfile, tag in _CHAIN_PIDFILES.items():
+        try:
+            pid = int(open(pidfile).read().strip())
+            with open(f"/proc/{pid}/cmdline", "rb") as fd:
+                cmd = fd.read().decode(errors="replace")
+        except (OSError, ValueError):
+            continue
+        if tag not in cmd:
+            continue  # stale pidfile from before a host restart
+        # children first (the chain's foreground python run), then the
+        # script itself
+        kids = subprocess.run(["ps", "-o", "pid=", "--ppid", str(pid)],
+                              capture_output=True, text=True).stdout.split()
+        for target in [*kids, pid]:
+            try:
+                os.kill(int(target), signal.SIGTERM)
+            except (OSError, ValueError):
+                pass
+        try:
+            os.unlink(pidfile)
+        except OSError:
+            pass
+        print(f"# bench: preempted {tag} (pid {pid}; chain resumes from "
+              "its checkpoints)", file=sys.stderr)
+        time.sleep(5)  # let the TPU client tear down
 
 
 def build_state():
@@ -146,6 +190,7 @@ def measure_baseline_surrogate():
 
 
 def main():
+    _preempt_chain()
     from gaussian_fluids_tpu.utils import roofline
 
     ours_eps, gevals, capacity, density = measure_ours()

@@ -32,21 +32,32 @@ def _domain_range(spec: FieldSpec):
 
 
 def save_checkpoint(path: str, mix: GaussianMixture, spec: FieldSpec) -> None:
+    import os
+
     params = mix.to_param_dict()
     payload = {
         "clamp_threshold": spec.clamp_threshold,
         "min_grid_scale": spec.min_grid_scale,
         "domain_range": _domain_range(spec),
     }
+    # Write-to-tmp + atomic rename: the production chain may be SIGTERM'd
+    # mid-frame (bench.py preemption, host restarts), and its resume logic
+    # loads the HIGHEST-numbered checkpoint — a torn final write would
+    # brick the whole run directory. The visible file is always complete.
     if _HAVE_TORCH:
         payload = {k: torch.from_numpy(np.array(v, copy=True))
                    for k, v in params.items()} | payload
-        torch.save(payload, path)
+        tmp = path + ".tmp"
+        torch.save(payload, tmp)
+        os.replace(tmp, path)
     else:  # pragma: no cover
-        np.savez(path + ".npz", **params,
-                 clamp_threshold=spec.clamp_threshold,
-                 min_grid_scale=spec.min_grid_scale,
-                 domain_range=np.asarray(payload["domain_range"]))
+        tmp = path + ".npz.tmp"
+        with open(tmp, "wb") as fd:
+            np.savez(fd, **params,
+                     clamp_threshold=spec.clamp_threshold,
+                     min_grid_scale=spec.min_grid_scale,
+                     domain_range=np.asarray(payload["domain_range"]))
+        os.replace(tmp, path + ".npz")
 
 
 def _load_npz(path: str):
