@@ -37,6 +37,20 @@ _CHAIN_PIDFILES = {"/tmp/chain.pid": "run_production_chain",
                    "/tmp/watcher.pid": "evidence_watcher"}
 
 
+_PREEMPTED = []
+
+
+def _wait_exit(pids, timeout=60.0):
+    """Poll /proc until every pid has exited (or timeout)."""
+    deadline = time.monotonic() + timeout
+    pending = set(pids)
+    while pending and time.monotonic() < deadline:
+        pending = {p for p in pending if os.path.exists(f"/proc/{p}")}
+        if pending:
+            time.sleep(0.25)
+    return pending
+
+
 def _preempt_chain():
     """Stop a running production chain before touching the TPU.
 
@@ -47,6 +61,13 @@ def _preempt_chain():
     in output_*/), so terminating it loses at most one frame. Only
     processes recorded in the pidfiles — and verified by /proc cmdline to
     be ours — are signalled; no pattern matching.
+
+    Kill order is PARENT FIRST (ADVICE r2): signalling the foreground
+    python child first lets the chain script advance to the next config
+    and spawn a fresh, unkilled TPU client before we signal the parent.
+    With the parent dead, its children are enumerated and terminated, and
+    we poll /proc until every one has actually exited (a fixed sleep was
+    a guess at TPU-client teardown time).
     """
     for pidfile, tag in _CHAIN_PIDFILES.items():
         try:
@@ -57,11 +78,13 @@ def _preempt_chain():
             continue
         if tag not in cmd:
             continue  # stale pidfile from before a host restart
-        # children first (the chain's foreground python run), then the
-        # script itself
+        try:
+            os.kill(pid, signal.SIGTERM)  # parent first: no respawn race
+        except OSError:
+            pass
         kids = subprocess.run(["ps", "-o", "pid=", "--ppid", str(pid)],
                               capture_output=True, text=True).stdout.split()
-        for target in [*kids, pid]:
+        for target in kids:
             try:
                 os.kill(int(target), signal.SIGTERM)
             except (OSError, ValueError):
@@ -70,9 +93,35 @@ def _preempt_chain():
             os.unlink(pidfile)
         except OSError:
             pass
-        print(f"# bench: preempted {tag} (pid {pid}; chain resumes from "
-              "its checkpoints)", file=sys.stderr)
-        time.sleep(5)  # let the TPU client tear down
+        left = _wait_exit([pid, *map(int, kids)])
+        note = f" ({len(left)} still exiting)" if left else ""
+        print(f"# bench: preempted {tag} (pid {pid}{note}; chain resumes "
+              "from its checkpoints)", file=sys.stderr)
+        _PREEMPTED.append(tag)
+    if _PREEMPTED:
+        time.sleep(2)  # final grace for the TPU client teardown
+
+
+def _restart_chain():
+    """Relaunch whatever _preempt_chain stopped, so a bench invoked
+    mid-round doesn't permanently halt production progress (ADVICE r2)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    relaunch = {
+        "run_production_chain":
+            ("/tmp/chain.pid", ["bash", "scripts/run_production_chain2.sh"],
+             os.path.join(here, "runs_r2_nohup.log")),
+        "evidence_watcher":
+            ("/tmp/watcher.pid", ["bash", "scripts/evidence_watcher.sh"],
+             os.path.join(here, "runs_r2_watcher.log")),
+    }
+    for tag in _PREEMPTED:
+        pidfile, cmd, log = relaunch[tag]
+        with open(log, "ab") as out:
+            proc = subprocess.Popen(cmd, cwd=here, stdout=out, stderr=out,
+                                    start_new_session=True)
+        with open(pidfile, "w") as fd:
+            fd.write(str(proc.pid))
+        print(f"# bench: restarted {tag} (pid {proc.pid})", file=sys.stderr)
 
 
 def build_state():
@@ -191,6 +240,13 @@ def measure_baseline_surrogate():
 
 def main():
     _preempt_chain()
+    try:
+        _main_measure()
+    finally:
+        _restart_chain()
+
+
+def _main_measure():
     from gaussian_fluids_tpu.utils import roofline
 
     ours_eps, gevals, capacity, density = measure_ours()

@@ -40,16 +40,24 @@ def save_checkpoint(path: str, mix: GaussianMixture, spec: FieldSpec) -> None:
         "min_grid_scale": spec.min_grid_scale,
         "domain_range": _domain_range(spec),
     }
-    # Write-to-tmp + atomic rename: the production chain may be SIGTERM'd
-    # mid-frame (bench.py preemption, host restarts), and its resume logic
-    # loads the HIGHEST-numbered checkpoint — a torn final write would
-    # brick the whole run directory. The visible file is always complete.
+    # Write-to-tmp + fsync + atomic rename: the production chain may be
+    # SIGTERM'd mid-frame (bench.py preemption) or the HOST may restart
+    # uncleanly (it has, twice), and the resume logic loads the
+    # HIGHEST-numbered checkpoint — a torn final write would brick the
+    # whole run directory. Without the fsync the rename can be journaled
+    # before the file data, leaving a truncated visible file after a hard
+    # restart (ADVICE r2); fsync-before-rename (+ directory fsync so the
+    # rename itself is durable) closes that window.
     if _HAVE_TORCH:
         payload = {k: torch.from_numpy(np.array(v, copy=True))
                    for k, v in params.items()} | payload
         tmp = path + ".tmp"
-        torch.save(payload, tmp)
+        with open(tmp, "wb") as fd:
+            torch.save(payload, fd)
+            fd.flush()
+            os.fsync(fd.fileno())
         os.replace(tmp, path)
+        final = path
     else:  # pragma: no cover
         tmp = path + ".npz.tmp"
         with open(tmp, "wb") as fd:
@@ -57,7 +65,16 @@ def save_checkpoint(path: str, mix: GaussianMixture, spec: FieldSpec) -> None:
                      clamp_threshold=spec.clamp_threshold,
                      min_grid_scale=spec.min_grid_scale,
                      domain_range=np.asarray(payload["domain_range"]))
+            fd.flush()
+            os.fsync(fd.fileno())
         os.replace(tmp, path + ".npz")
+        final = path + ".npz"
+    dirfd = os.open(os.path.dirname(os.path.abspath(final)) or ".",
+                    os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
 
 
 def _load_npz(path: str):

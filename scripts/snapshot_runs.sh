@@ -28,9 +28,14 @@ if [ -n "$dirs" ]; then
   timeout 600 python scripts/report_runs.py $dirs > "$EV/report_runs.txt" 2>&1 || true
 fi
 
+# Path-restricted add/check/commit: the watcher runs this asynchronously,
+# so a bare `git commit` would sweep anything another process has staged
+# into the snapshot commit (ADVICE r2). `git commit -- <path>` commits only
+# the evidence dir and leaves the rest of the index untouched.
 git add "$EV" >/dev/null
-if git diff --cached --quiet; then
+if git diff --cached --quiet -- "$EV"; then
   echo "snapshot: no change"
 else
-  git commit -q -m "Run-evidence snapshot: ${1:-chain progress}" && echo "snapshot committed"
+  git commit -q -m "Run-evidence snapshot: ${1:-chain progress}" -- "$EV" \
+    && echo "snapshot committed"
 fi
