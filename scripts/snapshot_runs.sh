@@ -28,6 +28,31 @@ if [ -n "$dirs" ]; then
   timeout 600 python scripts/report_runs.py $dirs > "$EV/report_runs.txt" 2>&1 || true
 fi
 
+# Completion-time analyzer evidence (VERDICT r2 item 1): when a config's
+# .done marker exists, run its physics analyzer ONCE (CPU) and commit the
+# verdict next to the log tails. Re-runs only if the marker is newer than
+# the saved analysis (a config resumed and re-completed).
+analyze() {
+  marker=$1 out=$2; shift 2
+  [ -e "runs_r2/$marker" ] || return 0
+  if [ -e "$EV/$out" ] && [ ! "runs_r2/$marker" -nt "$EV/$out" ]; then
+    return 0
+  fi
+  { echo "# $* ($(date -u +%FT%TZ), marker $marker)"
+    timeout 1800 python "$@" 2>&1; } > "$EV/$out" || true
+}
+analyze rc_advance.done  analyze_ring3d_rc.txt      scripts/analyze_ring3d.py output_3d_ring_collide
+analyze rc_density.done  analyze_density3d_rc.txt   scripts/analyze_density3d.py output_3d_ring_collide
+analyze tv_advance.done  analyze_taylor_vortex.txt  scripts/analyze_taylor_vortex2d.py output_tv
+analyze svr_advance.done analyze_ring3d_svr.txt     scripts/analyze_ring3d.py output_3d_svr
+analyze rwo_advance.done analyze_ring3d_rwo.txt \
+  scripts/analyze_ring3d.py output_3d_rwo 5 32 ring_with_obstacle
+analyze vp_advance.done  analyze_vp.txt             scripts/analyze_vortices_pass2d.py output_vp vortices_pass
+for v in narrow noslip particles; do
+  analyze vortices_pass_${v}_advance.done analyze_vp_${v}.txt \
+    scripts/analyze_vortices_pass2d.py output_vortices_pass_${v} vortices_pass_${v}
+done
+
 # Path-restricted add/check/commit: the watcher runs this asynchronously,
 # so a bare `git commit` would sweep anything another process has staged
 # into the snapshot commit (ADVICE r2). `git commit -- <path>` commits only
