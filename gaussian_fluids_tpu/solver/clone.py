@@ -321,7 +321,7 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
             xc)
 
     @jax.jit
-    def test_fn(params, alive, test_x, test_ref):
+    def test_fn(params, alive, stop, test_x, test_ref):
         mix = _mixf(params, alive)
         rv_all, rj_all = test_ref
         b = test_x.shape[0]
@@ -335,7 +335,12 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
             return jnp.stack([lv, lg])
 
         out = jax.lax.map(one, (xcs, rv_all, rj_all, valid))
-        return out[:, 0].sum() / b, out[:, 1].sum() / b
+        # raw regularizer values for the reference's test line (aniso over
+        # the unfrozen set, volume over all alive — 2D/advance.py:109-117,
+        # printed unweighted at :133,157)
+        la = losses.aniso_loss(params["scalings"], alive & ~stop)
+        lvl = losses.volume_loss(params["scalings"], alive)
+        return out[:, 0].sum() / b, out[:, 1].sum() / b, la, lvl
 
     return run_chunk, test_ref_fn, test_fn, target_grid_fn
 
@@ -392,11 +397,12 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
     test_ref = test_ref_fn(old_padded.params(), old_padded.alive, test_x_s)
 
     def metrics(c):
-        return jax.device_get(test_fn(c[0], c[2], test_x_s, test_ref))
+        return jax.device_get(test_fn(c[0], c[2], c[3], test_x_s, test_ref))
 
     if verbose:
-        lv, lg = metrics(carry)
-        print(f"[clone] loss: {lv}, loss_grad: {lg}")
+        lv, lg, la, lvl = metrics(carry)
+        print(f"[clone] loss: {lv}, loss_grad: {lg}, loss_aniso: {la}, "
+              f"loss_vol: {lvl}")
 
     pat_v, pat_g = tuple(Patience(t) for t in PATIENCE_REL_CLONE)
     st = time.time()
@@ -405,14 +411,14 @@ def clone_velocity_field(old_mix: GaussianMixture, spec: FieldSpec, *,
         nonlocal key
         key, sub = rng_utils.split2(key)
         c2, _ = run_chunk(c, sub, n)
-        return c2, None, test_fn(c2[0], c2[2], test_x_s, test_ref)
+        return c2, None, test_fn(c2[0], c2[2], c2[3], test_x_s, test_ref)
 
     def on_chunk(mh, _aux, n):
         nonlocal st
-        lv, lg = mh
+        lv, lg, la, lvl = mh
         if verbose:
-            print(f"[clone] loss: {lv}, loss_grad: {lg}, "
-                  f"time: {time.time() - st}")
+            print(f"[clone] loss: {lv}, loss_grad: {lg}, loss_aniso: {la}, "
+                  f"loss_vol: {lvl}, time: {time.time() - st}")
             st = time.time()
         pat_v.update(float(lv), n)
         pat_g.update(float(lg), n)

@@ -251,7 +251,7 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
                 old_mix, spec, c, dt, lo, hi, presorted=True), xc)
 
     @jax.jit
-    def test_fn(params, alive, test_x, ref_vor):
+    def test_fn(params, alive, positions_org, adv, test_x, ref_vor, key):
         mix = _mix(params, alive)
         b = test_x.shape[0]
         xcs, valid = _pad_chunks(test_x, b)
@@ -264,7 +264,34 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
             return jnp.stack([lv.sum(), ld.sum(), ld.max()])
 
         out = jax.lax.map(one, (xcs, ref_vor, valid))
-        return out[:, 0].sum() / b, out[:, 1].sum() / b, out[:, 2].max()
+        # raw regularizer + boundary values for the reference's test line
+        # (printed unweighted, fresh boundary batches per test —
+        # 2D/advance.py:239-257,271,286)
+        la = losses.aniso_loss(params["scalings"], alive)
+        lvl = losses.volume_loss(params["scalings"], alive)
+        ldp = losses.delta_pos_loss(params["positions"], positions_org,
+                                    alive)
+        bc = jnp.zeros(())
+        sorting = field._use_pallas(batch_size, params["positions"].shape[0])
+        kb1, kb2 = jax.random.split(key)
+        if boundary_lambda > 0.0 and bs1 is not None:
+            bd, bval = bs1(kb1, batch_size, adv)
+            if sorting:
+                o = jnp.argsort(bd[:, 0])
+                bd, bval = bd[o], bval[o]
+            bc = bc + losses.boundary_dirichlet_loss(
+                field.value(mix, spec, bd, presorted=True, need_dx=False),
+                bval)
+        if boundary_lambda > 0.0 and bs2 is not None:
+            bd, bn, bnr = bs2(kb2, batch_size, adv)
+            if sorting:
+                o = jnp.argsort(bd[:, 0])
+                bd, bn, bnr = bd[o], bn[o], bnr[o]
+            bc = bc + losses.boundary_flux_loss(
+                field.value(mix, spec, bd, presorted=True, need_dx=False),
+                bn, bnr)
+        return (out[:, 0].sum() / b, out[:, 1].sum() / b, out[:, 2].max(),
+                la, lvl, ldp, bc)
 
     return run_chunk, test_ref_fn, test_fn, target_grid_fn
 
@@ -308,13 +335,16 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
     test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, adv,
                            dt_j)
 
-    def metrics(c):
-        return jax.device_get(test_fn(c[0], c[2], test_x, test_ref))
+    def metrics(c, k):
+        return jax.device_get(
+            test_fn(c[0], c[2], c[3], c[6], test_x, test_ref, k))
 
     if verbose:
-        lv, ld, ldm = metrics(carry)
+        key, tk = rng.split2(key)
+        lv, ld, ldm, la, lvl, ldp, bc = metrics(carry, tk)
         print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
-              f"loss_div_max: {ldm}")
+              f"loss_div_max: {ldm}, loss_aniso: {la}, loss_vol: {lvl}, "
+              f"loss_delta_pos: {ldp}, boundary_constraint: {bc}")
 
     pat_vor, pat_div = (Patience(PATIENCE_REL_2D[0]),
                         Patience(PATIENCE_REL_2D[1]))
@@ -323,15 +353,19 @@ def project_2d(mix: GaussianMixture, spec: FieldSpec,
     def dispatch(c, n):
         nonlocal key
         key, sub = rng.split2(key)
+        key, tk = rng.split2(key)
         c2, _ = run_chunk(c, sub, n)
-        return c2, None, test_fn(c2[0], c2[2], test_x, test_ref)
+        return c2, None, test_fn(c2[0], c2[2], c2[3], c2[6], test_x,
+                                 test_ref, tk)
 
     def on_chunk(mh, _aux, n):
         nonlocal st
-        lv, ld, ldm = mh
+        lv, ld, ldm, la, lvl, ldp, bc = mh
         if verbose:
             print(f"[projection] loss_vor: {lv}, loss_div: {ld}, "
-                  f"loss_div_max: {ldm}, time: {time.time() - st}")
+                  f"loss_div_max: {ldm}, loss_aniso: {la}, "
+                  f"loss_vol: {lvl}, loss_delta_pos: {ldp}, "
+                  f"boundary_constraint: {bc}, time: {time.time() - st}")
             st = time.time()
         pat_vor.update(float(lv), n)
         pat_div.update(float(ld), n)
@@ -512,7 +546,7 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
                                                      presorted=True), xc)
 
     @jax.jit
-    def test_fn(params, alive, test_x, test_ref):
+    def test_fn(params, alive, test_x, test_ref, key):
         mix = _mix(params, alive)
         ref_vor, ref_hel = test_ref
         b = test_x.shape[0]
@@ -528,8 +562,23 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
             return jnp.stack([lv.sum(), lh.sum(), ld.sum(), ld.max()])
 
         out = jax.lax.map(one, (xcs, ref_vor, ref_hel, valid))
+        # raw regularizer + boundary values for the reference's test line
+        # (printed unweighted, fresh boundary batch per test —
+        # 3D/advance.py:271,295)
+        la = losses.aniso_loss(params["scalings"], alive)
+        lvl = losses.volume_loss(params["scalings"], alive)
+        lvr = losses.value_reg_loss(params["values"], alive)
+        bc = jnp.zeros(())
+        if boundary_lambda > 0.0 and bs_freeslip is not None:
+            bd, bn = bs_freeslip(key, batch_size)
+            if field._use_pallas(batch_size, params["positions"].shape[0]):
+                o = jnp.argsort(bd[:, 0])
+                bd, bn = bd[o], bn[o]
+            bc = bc + losses.boundary_freeslip_loss(
+                field.value(mix, spec, bd, presorted=True, need_dx=False),
+                bn)
         return (out[:, 0].sum() / b, out[:, 1].sum() / b,
-                out[:, 2].sum() / b, out[:, 3].max())
+                out[:, 2].sum() / b, out[:, 3].max(), la, lvl, lvr, bc)
 
     return run_chunk, test_ref_fn, test_fn, target_grid_fn
 
@@ -574,13 +623,15 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
 
     test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, dt_j)
 
-    def metrics(c):
-        return jax.device_get(test_fn(c[0], c[2], test_x, test_ref))
+    def metrics(c, k):
+        return jax.device_get(test_fn(c[0], c[2], test_x, test_ref, k))
 
     if verbose:
-        lv, lh, ld, ldm = metrics(carry)
+        key, tk = rng.split2(key)
+        lv, lh, ld, ldm, la, lvl, lvr, bc = metrics(carry, tk)
         print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, loss_div: {ld},"
-              f" loss_div_max: {ldm}")
+              f" loss_div_max: {ldm}, loss_aniso: {la}, loss_vol: {lvl}, "
+              f"loss_val_reg: {lvr}, boundary_constraint: {bc}")
 
     pat_vor, pat_hel, pat_div = tuple(
         Patience(t) for t in PATIENCE_REL_3D)
@@ -591,12 +642,13 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
     def dispatch(c, n):
         nonlocal key
         key, sub = rng.split2(key)
+        key, tk = rng.split2(key)
         c2, aux = run_chunk(c, sub, n)
-        return c2, (c2, aux), test_fn(c2[0], c2[2], test_x, test_ref)
+        return c2, (c2, aux), test_fn(c2[0], c2[2], test_x, test_ref, tk)
 
     def on_chunk(mh, aux_pair, n):
         nonlocal st
-        lv, lh, ld, ldm = mh
+        lv, lh, ld, ldm, la, lvl, lvr, bc = mh
         if collect_curves:
             c2, aux = aux_pair
             aux_np = np.asarray(jax.device_get(aux))
@@ -608,8 +660,9 @@ def project_3d(mix: GaussianMixture, spec: FieldSpec,
             curves["test_div"].append(float(ld))
         if verbose:
             print(f"[projection] loss_vor: {lv}, loss_hel: {lh}, "
-                  f"loss_div: {ld}, loss_div_max: {ldm}, "
-                  f"time: {time.time() - st}")
+                  f"loss_div: {ld}, loss_div_max: {ldm}, loss_aniso: {la}, "
+                  f"loss_vol: {lvl}, loss_val_reg: {lvr}, "
+                  f"boundary_constraint: {bc}, time: {time.time() - st}")
             st = time.time()
         pat_vor.update(float(lv), n)
         pat_hel.update(float(lh), n)
