@@ -83,12 +83,3 @@ def rk4_advect_pos(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     f = lambda p: field.value(mix, spec, p, presorted=presorted,
                               need_dx=False)
     return rk4_pos_stages(f, x, dt)
-
-
-def rk4_advect_culled(mix, spec, x, dt, grid):
-    """Position-only RK4 through the culled backend — for huge query sets
-    (the 512^3 density backtrace, reference 3D/advance_density.py:52-59)
-    where the dense (B, N) sweep would be prohibitive."""
-    from gaussian_fluids_tpu.ops import grid as grid_ops
-    return rk4_pos_stages(
-        lambda p: grid_ops.value_culled(mix, spec, p, grid), x, dt)
