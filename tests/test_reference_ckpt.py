@@ -130,3 +130,65 @@ def test_resume_from_reference_written_2d(tmp_path):
     advance_2d("taylor_green", out, dt=.001, last_time=.001, max_epoch=60,
                viz=False, verbose=0, test_res=(12, 12))
     assert os.path.exists(os.path.join(out, "gaussian_velocity_1.pt"))
+
+
+def test_unnormalized_quaternion_parity(tmp_path):
+    """A real mid-run reference checkpoint holds quaternions that drift off
+    unit norm — the reference never renormalizes the stored tensor, its
+    kernels normalize in-function per evaluation (3D/GSR.py:97-99). Load a
+    checkpoint with deliberately non-unit (tiny to huge norm) quaternions
+    and assert field parity against a torch oracle implementing the
+    reference fast-path semantics (v*(g - c) for g >= c, 3D/GSR.py:294)
+    with the same in-function normalization."""
+    n, seed = 23, 7
+    rng = np.random.RandomState(seed)
+    path = str(tmp_path / "gaussian_velocity_4.pt")
+    quats = rng.randn(n, 4)
+    # degenerate norms: tiny, unit-ish, huge — but never zero
+    quats *= (10.0 ** rng.uniform(-1.5, 1.5, (n, 1))
+              / np.linalg.norm(quats, axis=1, keepdims=True))
+    assert np.abs(np.linalg.norm(quats, axis=1) - 1.0).max() > 5.0
+    params = {
+        "positions": torch.tensor(rng.uniform(-1, 1, (n, 3)),
+                                  dtype=torch.float, requires_grad=True),
+        "scalings": torch.tensor(0.3 * rng.randn(n, 3), dtype=torch.float,
+                                 requires_grad=True),
+        "rotations": torch.tensor(quats, dtype=torch.float,
+                                  requires_grad=True),
+        "values": torch.tensor(rng.randn(n, 3), dtype=torch.float,
+                               requires_grad=True),
+        "clamp_threshold": 5e-3,
+        "min_grid_scale": 2.0 * (64.0 / n) ** (1 / 3),
+        "domain_range": (-3.0, 3.0, -3.0, 3.0, -3.0, 3.0),
+    }
+    torch.save(params, path)
+
+    mix, spec = checkpoint.load_checkpoint(path)
+    x = rng.uniform(-1.5, 1.5, (64, 3)).astype(np.float32)
+    got = np.asarray(field.value(mix, spec, jnp.asarray(x), need_dx=False))
+
+    # torch oracle (reference dense math with fast-path clamp semantics)
+    with torch.no_grad():
+        q = params["rotations"] / params["rotations"].norm(
+            dim=-1, keepdim=True)
+        r, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        R = torch.stack([
+            torch.stack([1 - 2 * (qy * qy + qz * qz),
+                         2 * (qx * qy - r * qz),
+                         2 * (qx * qz + r * qy)], -1),
+            torch.stack([2 * (qx * qy + r * qz),
+                         1 - 2 * (qx * qx + qz * qz),
+                         2 * (qy * qz - r * qx)], -1),
+            torch.stack([2 * (qx * qz - r * qy),
+                         2 * (qy * qz + r * qx),
+                         1 - 2 * (qx * qx + qy * qy)], -1)], -2)
+        e2s = torch.exp(2.0 * params["scalings"])
+        P = torch.einsum("nik,nk,njk->nij", R, e2s, R)
+        delta = torch.tensor(x)[:, None, :] - params["positions"][None]
+        quad = torch.einsum("bni,nij,bnj->bn", delta, P, delta)
+        g = torch.exp(-0.5 * quad)
+        c = params["clamp_threshold"]
+        want = torch.einsum(
+            "bn,nd->bd", torch.where(g >= c, g - c, torch.zeros(())),
+            params["values"]).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
