@@ -50,10 +50,10 @@ def load_obstacle_mesh(info):
     if not os.path.exists(path):
         sub = os.path.join(ASSET_DIR, "bunny_substitute.obj")
         if not os.path.exists(sub):
-            v, nn, f = mesh_mod.generate_icosphere()
+            v, nn, f = mesh_mod.generate_trefoil_tube()
             mesh_mod.write_obj(sub, v, nn, f)
             print(f"[scenes3d] assets/{info['obj_file']} missing; generated "
-                  f"icosphere substitute at {sub}")
+                  f"concave trefoil-tube substitute at {sub}")
         path = sub
     rotate = np.eye(3, dtype=np.float32)
     return mesh_mod.MeshSampler(path, info["scale"], rotate,

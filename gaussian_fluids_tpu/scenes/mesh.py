@@ -130,49 +130,73 @@ class MeshSampler:
         return p, nrm
 
 
-def generate_icosphere(radius: float = 0.6,
-                       center=(0.0, 0.95, 0.0),
-                       subdivisions: int = 3):
+def generate_trefoil_tube(extent: float = 0.6,
+                          center=(0.0, 0.95, 0.0),
+                          tube_ratio: float = 0.30,
+                          n_u: int = 240, n_v: int = 20):
     """Procedural substitute obstacle mesh. The reference scene needs
     ``assets/bunny.obj``, which is missing from the mount
-    (.MISSING_LARGE_BLOBS); this icosphere matches the bunny's approximate
-    pre-transform bounding volume so the transformed obstacle lands in the
-    same region of the fluid domain. Returns (vertices, normals, faces)."""
-    t = (1.0 + np.sqrt(5.0)) / 2.0
-    verts = np.asarray([
-        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
-        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
-        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
-    ], np.float64)
-    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
-    faces = [
-        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
-        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
-        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
-        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
-    ]
-    for _ in range(subdivisions):
-        verts = list(verts)
-        cache = {}
+    (.MISSING_LARGE_BLOBS); this trefoil-knot tube fits the bunny's
+    approximate pre-transform bounding sphere so the transformed obstacle
+    lands in the same region of the fluid domain.
 
-        def midpoint(i, j):
-            keyk = (min(i, j), max(i, j))
-            if keyk not in cache:
-                m = (np.asarray(verts[i]) + np.asarray(verts[j])) / 2.0
-                m /= np.linalg.norm(m)
-                cache[keyk] = len(verts)
-                verts.append(m)
-            return cache[keyk]
+    A trefoil was chosen over the round-2 icosphere deliberately: it is
+    NON-convex (genus 1, three interleaved lobes, concave inner faces), so
+    the mesh-flux machinery — interpolated vertex normals, area-weighted
+    face sampling, the analyzer's |u.n| obstacle probe — is exercised
+    where a convex sphere provably cannot fail. Normals are analytic (the
+    tube's radial direction); frames are rotation-minimizing with the
+    closure holonomy distributed as a linear twist so the mesh is
+    watertight. Returns (vertices, normals, faces)."""
+    t = np.linspace(0.0, 2.0 * np.pi, n_u, endpoint=False)
+    # (2,3) trefoil curve and its analytic tangent
+    c = np.stack([np.sin(t) + 2.0 * np.sin(2.0 * t),
+                  np.cos(t) - 2.0 * np.cos(2.0 * t),
+                  -np.sin(3.0 * t)], axis=-1)
+    dc = np.stack([np.cos(t) + 4.0 * np.cos(2.0 * t),
+                   -np.sin(t) + 4.0 * np.sin(2.0 * t),
+                   -3.0 * np.cos(3.0 * t)], axis=-1)
+    tan = dc / np.linalg.norm(dc, axis=-1, keepdims=True)
+    # rotation-minimizing frame by projection transport
+    n0 = np.asarray([0.0, 0.0, 1.0])
+    n0 = n0 - np.dot(n0, tan[0]) * tan[0]
+    frames_n = [n0 / np.linalg.norm(n0)]
+    for i in range(1, n_u):
+        n_prev = frames_n[-1]
+        n_i = n_prev - np.dot(n_prev, tan[i]) * tan[i]
+        frames_n.append(n_i / np.linalg.norm(n_i))
+    nrm = np.asarray(frames_n)
+    binrm = np.cross(tan, nrm)
+    # closure holonomy: transporting once around leaves the frame rotated
+    # by phi relative to the start; unwind it linearly so ring n_u-1
+    # connects smoothly back to ring 0
+    n_end = nrm[-1] - np.dot(nrm[-1], tan[0]) * tan[0]
+    n_end /= np.linalg.norm(n_end)
+    phi = np.arctan2(np.dot(np.cross(nrm[0], n_end), tan[0]),
+                     np.dot(nrm[0], n_end))
+    theta_corr = -phi * np.arange(n_u) / n_u
+    cc, ss = np.cos(theta_corr)[:, None], np.sin(theta_corr)[:, None]
+    nrm, binrm = cc * nrm + ss * binrm, -ss * nrm + cc * binrm
 
-        new_faces = []
-        for (i, j, k) in faces:
-            a, b, c = midpoint(i, j), midpoint(j, k), midpoint(k, i)
-            new_faces += [(i, a, c), (j, b, a), (k, c, b), (a, b, c)]
-        faces = new_faces
-        verts = np.asarray(verts)
-    verts = np.asarray(verts)
-    normals = verts.copy()
-    verts = verts * radius + np.asarray(center)
+    r_curve = np.linalg.norm(c, axis=-1).max()
+    tube_r = tube_ratio * extent
+    scale = (extent - tube_r) / r_curve
+    theta = np.linspace(0.0, 2.0 * np.pi, n_v, endpoint=False)
+    radial = (np.cos(theta)[None, :, None] * nrm[:, None, :]
+              + np.sin(theta)[None, :, None] * binrm[:, None, :])
+    verts = (scale * c[:, None, :] + tube_r * radial
+             + np.asarray(center)).reshape(-1, 3)
+    normals = radial.reshape(-1, 3)
+
+    def vid(i, j):
+        return (i % n_u) * n_v + (j % n_v)
+
+    faces = []
+    for i in range(n_u):
+        for j in range(n_v):
+            a, b = vid(i, j), vid(i + 1, j)
+            cq, d = vid(i + 1, j + 1), vid(i, j + 1)
+            faces += [(a, cq, b), (a, d, cq)]
     return (verts.astype(np.float32), normals.astype(np.float32),
             np.asarray(faces, np.int32))
 
