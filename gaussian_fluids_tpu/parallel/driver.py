@@ -238,10 +238,13 @@ def project_3d_sharded(mix: GaussianMixture, spec: FieldSpec,
     test_ref = test_ref_fn(old_mix.params(), old_mix.alive, test_x, dt_j)
 
     if verbose:
-        lv, lh, ld, ldm = jax.device_get(
-            test_fn(carry[0], carry[2], test_x, test_ref))
+        key, tk = rng_utils.split2(key)
+        lv, lh, ld, ldm, la, lvl, lvr, bc = jax.device_get(
+            test_fn(carry[0], carry[2], test_x, test_ref, tk))
         print(f"[projection/sharded] loss_vor: {lv}, loss_hel: {lh}, "
-              f"loss_div: {ld}, loss_div_max: {ldm}")
+              f"loss_div: {ld}, loss_div_max: {ldm}, loss_aniso: {la}, "
+              f"loss_vol: {lvl}, loss_val_reg: {lvr}, "
+              f"boundary_constraint: {bc}")
 
     pat_vor, pat_hel, pat_div = tuple(
         Patience(t) for t in PATIENCE_REL_3D)
@@ -250,16 +253,18 @@ def project_3d_sharded(mix: GaussianMixture, spec: FieldSpec,
     def dispatch(c, n):
         nonlocal key
         key, sub = rng_utils.split2(key)
+        key, tk = rng_utils.split2(key)
         c2, _ = run_chunk(c, sub, n)
-        return c2, None, test_fn(c2[0], c2[2], test_x, test_ref)
+        return c2, None, test_fn(c2[0], c2[2], test_x, test_ref, tk)
 
     def on_chunk(mh, _aux, n):
         nonlocal st
-        lv, lh, ld, ldm = mh
+        lv, lh, ld, ldm, la, lvl, lvr, bc = mh
         if verbose:
             print(f"[projection/sharded] loss_vor: {lv}, loss_hel: {lh}, "
-                  f"loss_div: {ld}, loss_div_max: {ldm}, "
-                  f"time: {time.time() - st}")
+                  f"loss_div: {ld}, loss_div_max: {ldm}, loss_aniso: {la}, "
+                  f"loss_vol: {lvl}, loss_val_reg: {lvr}, "
+                  f"boundary_constraint: {bc}, time: {time.time() - st}")
             st = time.time()
         pat_vor.update(float(lv), n)
         pat_hel.update(float(lh), n)
@@ -380,9 +385,10 @@ def clone_velocity_field_sharded(old_mix: GaussianMixture, spec: FieldSpec,
     test_ref = test_ref_fn(old_padded.params(), old_padded.alive, test_x_s)
 
     if verbose:
-        lv, lg = jax.device_get(
-            test_fn(carry[0], carry[2], test_x_s, test_ref))
-        print(f"[clone/sharded] loss: {lv}, loss_grad: {lg}")
+        lv, lg, la, lvl = jax.device_get(
+            test_fn(carry[0], carry[2], carry[3], test_x_s, test_ref))
+        print(f"[clone/sharded] loss: {lv}, loss_grad: {lg}, "
+              f"loss_aniso: {la}, loss_vol: {lvl}")
 
     pat_v, pat_g = tuple(Patience(t) for t in PATIENCE_REL_CLONE)
     st = time.time()
@@ -391,13 +397,14 @@ def clone_velocity_field_sharded(old_mix: GaussianMixture, spec: FieldSpec,
         nonlocal key
         key, sub = rng_utils.split2(key)
         c2, _ = run_chunk(c, sub, n)
-        return c2, None, test_fn(c2[0], c2[2], test_x_s, test_ref)
+        return c2, None, test_fn(c2[0], c2[2], c2[3], test_x_s, test_ref)
 
     def on_chunk(mh, _aux, n):
         nonlocal st
-        lv, lg = mh
+        lv, lg, la, lvl = mh
         if verbose:
             print(f"[clone/sharded] loss: {lv}, loss_grad: {lg}, "
+                  f"loss_aniso: {la}, loss_vol: {lvl}, "
                   f"time: {time.time() - st}")
             st = time.time()
         pat_v.update(float(lv), n)
@@ -448,10 +455,13 @@ def project_2d_sharded(mix: GaussianMixture, spec: FieldSpec,
                            dt_j)
 
     if verbose:
-        lv, ld, ldm = jax.device_get(
-            test_fn(carry[0], carry[2], test_x, test_ref))
+        key, tk = rng_utils.split2(key)
+        lv, ld, ldm, la, lvl, ldp, bc = jax.device_get(
+            test_fn(carry[0], carry[2], carry[3], adv_j, test_x, test_ref,
+                    tk))
         print(f"[projection/sharded] loss_vor: {lv}, loss_div: {ld}, "
-              f"loss_div_max: {ldm}")
+              f"loss_div_max: {ldm}, loss_aniso: {la}, loss_vol: {lvl}, "
+              f"loss_delta_pos: {ldp}, boundary_constraint: {bc}")
 
     pat_vor, pat_div = (Patience(PATIENCE_REL_2D[0]),
                         Patience(PATIENCE_REL_2D[1]))
@@ -460,15 +470,19 @@ def project_2d_sharded(mix: GaussianMixture, spec: FieldSpec,
     def dispatch(c, n):
         nonlocal key
         key, sub = rng_utils.split2(key)
+        key, tk = rng_utils.split2(key)
         c2, _ = run_chunk(c, sub, n)
-        return c2, None, test_fn(c2[0], c2[2], test_x, test_ref)
+        return c2, None, test_fn(c2[0], c2[2], c2[3], adv_j, test_x,
+                                 test_ref, tk)
 
     def on_chunk(mh, _aux, n):
         nonlocal st
-        lv, ld, ldm = mh
+        lv, ld, ldm, la, lvl, ldp, bc = mh
         if verbose:
             print(f"[projection/sharded] loss_vor: {lv}, loss_div: {ld}, "
-                  f"loss_div_max: {ldm}, time: {time.time() - st}")
+                  f"loss_div_max: {ldm}, loss_aniso: {la}, "
+                  f"loss_vol: {lvl}, loss_delta_pos: {ldp}, "
+                  f"boundary_constraint: {bc}, time: {time.time() - st}")
             st = time.time()
         pat_vor.update(float(lv), n)
         pat_div.update(float(ld), n)

@@ -622,15 +622,19 @@ def test_project_2d_sharded_runs_and_improves(monkeypatch):
     dt = jnp.asarray(0.025, jnp.float32)
     tref = test_ref_fn(old_mix.params(), old_mix.alive,
                        jnp.asarray(test_x), adv, dt)
-    lv0, ld0, _ = jax.device_get(test_fn(mix.params(), mix.alive,
-                                         jnp.asarray(test_x), tref))
+    pos_org = jax.lax.stop_gradient(mix.positions)
+    tk = jax.random.PRNGKey(99)
+    lv0, ld0 = jax.device_get(test_fn(
+        mix.params(), mix.alive, pos_org, adv, jnp.asarray(test_x), tref,
+        tk))[:2]
     out = driver.project_2d_sharded(
         mix, spec, old_mix, 0.025, mesh=mesh, scene=scene,
         adv_domain=scene.advance_domain, test_x=test_x,
         key=jax.random.PRNGKey(7), weights=w, batch_size=64,
         max_epoch=200, check_iter=100, verbose=0)
-    lv1, ld1, _ = jax.device_get(test_fn(out.params(), out.alive,
-                                         jnp.asarray(test_x), tref))
+    lv1, ld1 = jax.device_get(test_fn(
+        out.params(), out.alive, pos_org, adv, jnp.asarray(test_x), tref,
+        tk))[:2]
     assert np.isfinite(lv1) and np.isfinite(ld1)
     assert ld1 <= ld0 * 1.05 and lv1 <= lv0 * 1.05, (lv0, ld0, lv1, ld1)
 
@@ -878,14 +882,17 @@ def test_project_3d_sharded_runs(monkeypatch):
         spec, "ring_collide", w, 10.0, 64, (-5.0,) * 3, (5.0,) * 3, None)
     dt = jnp.asarray(0.02, jnp.float32)
     tref = test_ref_fn(mix.params(), mix.alive, jnp.asarray(test_x), dt)
-    lv0, lh0, ld0, _ = jax.device_get(
-        test_fn(mix.params(), mix.alive, jnp.asarray(test_x), tref))
+    tk = jax.random.PRNGKey(99)
+    lv0, lh0, ld0 = jax.device_get(
+        test_fn(mix.params(), mix.alive, jnp.asarray(test_x), tref,
+                tk))[:3]
     out = driver.project_3d_sharded(
         mix, spec, mix, 0.02, mesh=mesh, domain=domain, test_x=test_x,
         key=jax.random.PRNGKey(11), scene_name="ring_collide", weights=w,
         batch_size=64, max_epoch=200, check_iter=100, verbose=0)
-    lv1, lh1, ld1, _ = jax.device_get(
-        test_fn(out.params(), out.alive, jnp.asarray(test_x), tref))
+    lv1, lh1, ld1 = jax.device_get(
+        test_fn(out.params(), out.alive, jnp.asarray(test_x), tref,
+                tk))[:3]
     assert all(np.isfinite(v) for v in (lv1, lh1, ld1))
     # self-projection from near-zero initial losses: the bound is
     # "stays small" (no divergence), not strict monotonicity
