@@ -214,3 +214,102 @@ def reference_gpu_bound_2d():
     modern GPU at leapfrog scale. See the derivation above."""
     return (REFERENCE_2D_EPOCH_BOUND["realistic_eps"],
             REFERENCE_2D_EPOCH_BOUND["generous_eps"])
+
+
+# ---------------------------------------------------------------------------
+# Reference GPU bound, 3D scale (VERDICT r2 item 3): the reference's fused
+# 3D kernel (3D/GSR.py:254-597) per projection epoch at ring_collide scale.
+#
+# Work model, measured from a real mid-run checkpoint (frame 11,
+# N=64,000, B=8,192; scripts in-session, see BASELINE.md r3 section):
+#   - VISITED pairs: the kernel walks all Gaussians in the 27 cells
+#     around each query (grid_scale = support radius of the LARGEST
+#     Gaussian, 3D/GSR.py:247-252; measured 0.052 -> ~20^3 grid, 6.7
+#     Gaussians/cell): ~199 visited/query = ~1.63M pairs/epoch. Per
+#     visited pair both passes rebuild quat-normalize + R + cov_inv
+#     (~150 FLOP); pass 2 adds the derivative chain (~1,500 FLOP) for
+#     CONTRIBUTING pairs only (g >= clamp).
+#   - CONTRIBUTING pairs: measured ~24/query = ~197k/epoch interior,
+#     ~43k boundary.
+#   - ATOMIC adds: 39 atomic f32 += per contributing interior pair
+#     (13 per loss bucket x {vor, hel, div}, counted from
+#     3D/GSR.py:495-556) + 13 per boundary pair = ~8.2M atomics/epoch.
+#
+# GPU floors (4090/A100 class, the reference needs "CUDA 11+"):
+#   - atomics: generous 64e9 atomic-f32/s (spread-address L2 peak,
+#     microbenchmark class), realistic 8e9/s under per-address collision
+#     (~3 colliders/address/epoch here, so closer to the spread peak;
+#     realistic figure also absorbs the pass-2 divergence of the
+#     per-pair derivative chain).
+#   - compute: ~2 GFLOP/epoch (all passes + RK4 backtrace) at 80 TFLOP/s
+#     fp32 -> 25 us; never binding.
+#   - launch/sync floor: 4 Taichi launches + ~130 eager torch ops +
+#     >= 6 host syncs (PCGrad dots inlined 4x, 3D/advance.py:202-225,
+#     plateau schedulers, grid_scale .item()), same structure as 2D.
+REFERENCE_3D_ATOMIC_RATE = {"generous": 64e9, "realistic": 8e9}
+REFERENCE_3D_LAUNCH_FLOOR_S = {"generous": 420e-6, "realistic": 1.42e-3}
+
+
+def reference_gpu_bound_3d(contributing_pairs: float,
+                           boundary_pairs: float,
+                           visited_pairs: float) -> tuple:
+    """(realistic_eps, generous_eps) plausible epochs/s for the reference
+    3D projection epoch. Each bound = 1 / (atomic time + launch/sync
+    floor); compute time is checked but never binding at these scales."""
+    atomics = 39.0 * contributing_pairs + 13.0 * boundary_pairs
+    flops = 2.0 * visited_pairs * 150.0 + contributing_pairs * 1500.0
+    out = []
+    for mode in ("realistic", "generous"):
+        t = (atomics / REFERENCE_3D_ATOMIC_RATE[mode]
+             + REFERENCE_3D_LAUNCH_FLOOR_S[mode])
+        t = max(t, flops / 80e12)
+        out.append(1.0 / t)
+    return tuple(out)
+
+
+def measured_pair_stats_3d(mix, spec, x, boundary_x=None):
+    """(visited, contributing, boundary_contributing) pairs per epoch for
+    the reference's kernel at this mixture/batch — the inputs to
+    reference_gpu_bound_3d. ``visited`` simulates the reference's
+    27-cell walk at its dynamic grid scale; ``contributing`` counts
+    g >= clamp exactly."""
+    import numpy as np
+    from gaussian_fluids_tpu.ops import rotations as rot_ops
+    import jax.numpy as jnp
+
+    alive = np.asarray(mix.alive)
+    mu = np.asarray(mix.positions)[alive]
+    s = np.asarray(mix.scalings)[alive]
+    P = np.asarray(rot_ops.precision_matrix(
+        jnp.asarray(s), jnp.asarray(np.asarray(mix.rotations)[alive]), 3))
+    c = spec.clamp_threshold
+    x = np.asarray(x)
+
+    def contributing(pts):
+        tot = 0
+        for i in range(0, pts.shape[0], 512):
+            d = pts[i:i + 512, None, :] - mu[None]
+            quad = np.einsum("bni,nij,bnj->bn", d, P, d)
+            tot += int((np.exp(-0.5 * quad) >= c).sum())
+        return tot
+
+    # reference dynamic grid scale (3D/GSR.py:247-252)
+    gs = max(float(np.sqrt(-2 * np.log(c)) * np.exp(-s.min())),
+             float(spec.min_grid_scale))
+    lo = np.asarray(spec.lo, np.float32)
+    nx = int(np.ceil((np.asarray(spec.hi) - lo).max() / gs)) + 2
+    ci = np.clip(((mu - lo + gs) / gs).astype(int), 0, nx - 1)
+    occ = {}
+    for t in map(tuple, ci):
+        occ[t] = occ.get(t, 0) + 1
+    xi = np.clip(((x - lo + gs) / gs).astype(int), 0, nx - 1)
+    visited = 0
+    for q in range(x.shape[0]):
+        a, b, cc = xi[q]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    visited += occ.get((a + dx, b + dy, cc + dz), 0)
+    return (float(visited), float(contributing(x)),
+            float(contributing(np.asarray(boundary_x)))
+            if boundary_x is not None else 0.0)

@@ -53,3 +53,31 @@ def test_measured_tile_density():
 def test_reference_bound_orders():
     lo, hi = roofline.reference_gpu_bound_2d()
     assert 0 < lo < hi < 50000
+
+
+def test_reference_gpu_bound_3d_monotone():
+    from gaussian_fluids_tpu.utils import roofline
+    lo, hi = roofline.reference_gpu_bound_3d(2e5, 4e4, 1.6e6)
+    assert 0 < lo < hi
+    # more atomic work -> tighter (slower) bound
+    lo2, hi2 = roofline.reference_gpu_bound_3d(2e6, 4e5, 1.6e7)
+    assert lo2 < lo and hi2 < hi
+    # launch floor dominates as pairs -> 0
+    lo0, hi0 = roofline.reference_gpu_bound_3d(0, 0, 0)
+    assert abs(hi0 - 1.0 / 420e-6) / hi0 < 1e-6
+
+
+def test_measured_pair_stats_3d_small():
+    import numpy as np
+    from gaussian_fluids_tpu import FieldSpec, GaussianMixture
+    from gaussian_fluids_tpu.utils import roofline
+    n = 64
+    r = np.random.RandomState(0)
+    spec = FieldSpec.create((0, 0, 0), (1, 1, 1), n, d=3, vdim=3)
+    mix = GaussianMixture.create(r.uniform(0.2, 0.8, (n, 3)), spec,
+                                 pad=False)
+    x = r.uniform(0, 1, (256, 3)).astype(np.float32)
+    visited, contrib, bnd = roofline.measured_pair_stats_3d(mix, spec, x, x)
+    # the 27-cell walk can only over-approximate the exact clamp support
+    assert visited >= contrib > 0
+    assert bnd == contrib  # same points passed for both
