@@ -80,12 +80,15 @@ def _preempt_chain():
             continue
         if tag not in cmd:
             continue  # stale pidfile from before a host restart
+        # enumerate children BEFORE signalling the parent — once the
+        # parent dies they are reparented to init and --ppid finds nothing
+        # (exactly how a stray TPU client once survived a preemption)
+        kids = subprocess.run(["ps", "-o", "pid=", "--ppid", str(pid)],
+                              capture_output=True, text=True).stdout.split()
         try:
             os.kill(pid, signal.SIGTERM)  # parent first: no respawn race
         except OSError:
             pass
-        kids = subprocess.run(["ps", "-o", "pid=", "--ppid", str(pid)],
-                              capture_output=True, text=True).stdout.split()
         for target in kids:
             try:
                 os.kill(int(target), signal.SIGTERM)

@@ -59,12 +59,19 @@ _PALLAS_MIN_B = 256       # below one query tile, tb-padding favors dense
 
 def _use_pallas(b: int, n: int) -> bool:
     mode = os.environ.get(_BACKEND_ENV, "auto")
-    if mode == "dense":
+    if mode in ("dense", "sparse"):
         return False
     if mode == "pallas":
         return True
     return (jax.default_backend() in ("tpu", "axon")
             and b >= _PALLAS_MIN_B and b * n >= _PALLAS_MIN_BN)
+
+
+def _use_sparse(b: int, n: int, d: int) -> bool:
+    """Cell-list COO backend (ops/sparse.py): opt-in via
+    GF_FIELD_BACKEND=sparse. Not yet in the auto ladder — flips on when
+    the TPU A/B at 3D production scale lands (BASELINE.md)."""
+    return os.environ.get(_BACKEND_ENV, "auto") == "sparse"
 
 
 def in_domain_mask(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
@@ -134,6 +141,9 @@ def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     kernel on TPU (GF_FIELD_BACKEND overrides). ``presorted`` promises x is
     ascending in coordinate 0 (skips the internal sort; an untrue promise
     only loosens tile bounds, never correctness)."""
+    if _use_sparse(x.shape[0], mix.capacity, mix.d):
+        from gaussian_fluids_tpu.ops import sparse as sparse_ops
+        return sparse_ops.value_sparse(mix, spec, x)
     if _use_pallas(x.shape[0], mix.capacity):
         return value_centered(mix, spec, x, presorted=presorted,
                               need_dx=need_dx)
@@ -153,6 +163,9 @@ def value_and_jac(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     """(u(x), du/dx): shapes (B, vdim) and (B, vdim, d). Dispatches to the
     fused Pallas kernel on TPU (GF_FIELD_BACKEND overrides). ``presorted``
     as in ``value``."""
+    if _use_sparse(x.shape[0], mix.capacity, mix.d):
+        from gaussian_fluids_tpu.ops import sparse as sparse_ops
+        return sparse_ops.value_and_jac_sparse(mix, spec, x)
     if _use_pallas(x.shape[0], mix.capacity):
         return value_and_jac_centered(mix, spec, x, presorted=presorted,
                                       need_dx=need_dx)
@@ -582,6 +595,11 @@ def two_head_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
     value-cotangent matmuls. A head that breaks the promise gets silently
     wrong gradients — dispatch decides, not inspection."""
     cap = params["positions"].shape[0]
+    if _use_sparse(x.shape[0], cap, spec.d):
+        from gaussian_fluids_tpu.ops import sparse as sparse_ops
+        return sparse_ops.two_head_grads_sparse(
+            params, alive, spec, x, head1, head2,
+            heads_use_val=heads_use_val)
     if _use_pallas(x.shape[0], cap):
         return two_head_grads_centered(params, alive, spec, x, head1, head2,
                                        heads_use_val=heads_use_val)

@@ -265,8 +265,11 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
             carry[7]
         if (target_grid is not None
                 or os.environ.get("GF_HOIST_TARGETS", "1") == "0"
-                or not field._use_pallas(
-                    batch_size, params["positions"].shape[0])):
+                or not (field._use_pallas(
+                        batch_size, params["positions"].shape[0])
+                        or field._use_sparse(
+                            batch_size, params["positions"].shape[0],
+                            spec.d))):
             return jax.lax.scan(epoch, carry, keys)
         # Exact-target hoist (Pallas regime): the old field is frozen for
         # the whole re-fit, so the chunk's [val, jac] targets come from a

@@ -191,8 +191,11 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
             carry[7]
         if (target_grid is not None
                 or os.environ.get("GF_HOIST_TARGETS", "1") == "0"
-                or not field._use_pallas(
-                    batch_size, params["positions"].shape[0])):
+                or not (field._use_pallas(
+                        batch_size, params["positions"].shape[0])
+                        or field._use_sparse(
+                            batch_size, params["positions"].shape[0],
+                            spec.d))):
             return jax.lax.scan(epoch, carry, keys)
         # Exact-target hoist (Pallas regime) — see the 3D run_chunk for
         # the full rationale; bitwise-identical targets, launches
@@ -484,8 +487,11 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         old_params, old_alive, dt = carry[3], carry[4], carry[5]
         if (target_grid is not None
                 or os.environ.get("GF_HOIST_TARGETS", "1") == "0"
-                or not field._use_pallas(
-                    batch_size, params["positions"].shape[0])):
+                or not (field._use_pallas(
+                        batch_size, params["positions"].shape[0])
+                        or field._use_sparse(
+                            batch_size, params["positions"].shape[0],
+                            spec.d))):
             return jax.lax.scan(epoch, carry, keys)
         # Exact-target hoist (Pallas regime): the old field is frozen for
         # the whole projection, so the chunk's n sample batches and their
