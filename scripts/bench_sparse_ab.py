@@ -93,9 +93,11 @@ def measure_band_guard():
     run_chunk, carry, mix, spec, src = bench.build_state_3d()
     del run_chunk, carry
     B = 1 << 19   # one device-resident grid chunk of the 512^3 sweep
-    g = np.linspace(0, 1, 64, dtype=np.float32)
-    pts = np.stack(np.meshgrid(g, g, g[:B // (64 * 64)], indexing="ij"),
-                   -1).reshape(-1, 3)[:B]
+    g64 = np.linspace(0, 1, 64, dtype=np.float32)
+    g128 = np.linspace(0, 1, 128, dtype=np.float32)
+    pts = np.stack(np.meshgrid(g64, g64, g128, indexing="ij"),
+                   -1).reshape(-1, 3)
+    assert pts.shape[0] == B
     x = jnp.asarray(pts)
     band = _suggest_band(mix, spec, 0.1)
 
