@@ -137,3 +137,30 @@ def test_dead_and_out_of_domain_excluded():
         np.asarray(sparse.value_and_jac_sparse(mix, spec, x)[0]),
         np.asarray(field.value_and_jac_dense(mix, spec, x)[0]),
         rtol=2e-5, atol=1e-6)
+
+
+def test_value_jac_matches_dense_2d():
+    """The backend is d-generic; 2D parity (9-cell neighborhoods, angle
+    rotations, packed 3-entry precisions)."""
+    n = 400
+    r = np.random.RandomState(20)
+    spec = FieldSpec.create((-5, -5), (5, 5), n, d=2, vdim=2)
+    mix = GaussianMixture.create(r.uniform(-4.5, 4.5, (n, 2)), spec)
+    p = mix.params()
+    p["scalings"] = p["scalings"] + 1.0
+    p["rotations"] = jnp.asarray(r.uniform(-2, 2, (mix.capacity,))
+                                 .astype(np.float32))
+    p["values"] = jnp.asarray(r.randn(mix.capacity, 2).astype(np.float32))
+    mix = mix.with_params(p)
+    x = jnp.asarray(r.uniform(-5.2, 5.2, (256, 2)).astype(np.float32))
+    vd, jd = field.value_and_jac_dense(mix, spec, x)
+    vs, js = sparse.value_and_jac_sparse(mix, spec, x)
+    # wide-overlap mixture: sums of ~100s of pairs differ by reduction
+    # order only (segment_sum vs HIGHEST matmul)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vd), rtol=1e-4,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(js), np.asarray(jd), rtol=1e-4,
+                               atol=3e-4)
+    L = sparse.pair_capacity(x.shape[0], mix.capacity, spec)
+    assert bool(sparse._sparse_value_jac(mix.params(), mix.alive, spec, x,
+                                         L, True)[2])
