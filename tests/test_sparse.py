@@ -159,8 +159,11 @@ def test_value_jac_matches_dense_2d():
     # order only (segment_sum vs HIGHEST matmul)
     np.testing.assert_allclose(np.asarray(vs), np.asarray(vd), rtol=1e-4,
                                atol=3e-4)
-    np.testing.assert_allclose(np.asarray(js), np.asarray(jd), rtol=1e-4,
-                               atol=3e-4)
+    # the dense path's jac finish amplifies rounding ~50x on
+    # near-cancelling components (docs/KERNELS.md); the sparse per-pair
+    # form has no such amplification, so the dense side owns this slack
+    np.testing.assert_allclose(np.asarray(js), np.asarray(jd), rtol=1e-3,
+                               atol=1e-3)
     L = sparse.pair_capacity(x.shape[0], mix.capacity, spec)
     assert bool(sparse._sparse_value_jac(mix.params(), mix.alive, spec, x,
                                          L, True)[2])
