@@ -214,13 +214,31 @@ def _sparse_value_jac(params, alive, spec: FieldSpec, x: jnp.ndarray,
         return val, jac
 
     def dense_branch(_):
+        # Guard fallback. On TPU use the streamed Pallas kernel (no (B, N)
+        # temporary — a dense fallback at hoisted-sweep batch sizes would
+        # need a 50 GB buffer and fail compile-time allocation); on CPU
+        # chunk the dense sweep to bound the temporary.
         from gaussian_fluids_tpu.ops import field as field_ops
         mix = GaussianMixture(params["positions"], params["scalings"],
                               params["rotations"], params["values"], alive)
-        if need_jac:
-            return field_ops.value_and_jac_dense(mix, spec, x)
-        val = field_ops.value_dense(mix, spec, x)
-        return val, jnp.zeros((b, vdim, d), x.dtype)
+        if jax.default_backend() in ("tpu", "axon"):
+            if need_jac:
+                return field_ops.value_and_jac_centered(mix, spec, x)
+            return (field_ops.value_centered(mix, spec, x, need_dx=False),
+                    jnp.zeros((b, vdim, d), x.dtype))
+        chunk = 4096
+        if b <= chunk:
+            if need_jac:
+                return field_ops.value_and_jac_dense(mix, spec, x)
+            return (field_ops.value_dense(mix, spec, x),
+                    jnp.zeros((b, vdim, d), x.dtype))
+        nchunk = -(-b // chunk)
+        xp = jnp.zeros((nchunk * chunk, d), x.dtype).at[:b].set(x)
+        vals, jacs = jax.lax.map(
+            lambda xc: field_ops.value_and_jac_dense(mix, spec, xc),
+            xp.reshape(nchunk, chunk, d))
+        return (vals.reshape(-1, vdim)[:b],
+                jacs.reshape(-1, vdim, d)[:b])
 
     val, jac = jax.lax.cond(ok_sparse, sparse_branch, dense_branch,
                             operand=None)

@@ -122,16 +122,21 @@ def main():
     from gaussian_fluids_tpu.cli import _enable_persistent_compile_cache
     _enable_persistent_compile_cache(jax)
     bench._preempt_chain()
+    ev_path = os.path.join(HERE, "runs_r2_evidence", "sparse_ab.json")
     res = {}
+    if os.path.exists(ev_path) and "--fresh" not in sys.argv:
+        with open(ev_path) as fd:   # resume: keep already-measured parts
+            res = json.load(fd)
     try:
         print("3D A/B at ring_collide scale:", flush=True)
-        res["pallas"] = measure_3d("auto")
+        if "pallas" not in res:
+            res["pallas"] = measure_3d("auto")
         print(f"  pallas/auto: {res['pallas']}", flush=True)
         res["sparse"] = measure_3d("sparse")
         print(f"  sparse:      {res['sparse']}", flush=True)
-        if "--no-2d" not in sys.argv:
+        if "--no-2d" not in sys.argv and "headline_2d_eps" not in res:
             res["headline_2d_eps"] = measure_2d_repeats()
-        if "--no-band" not in sys.argv:
+        if "--no-band" not in sys.argv and "band_guard" not in res:
             res["band_guard"] = measure_band_guard()
             print(f"  band guard: {res['band_guard']}", flush=True)
     finally:
