@@ -1,0 +1,65 @@
+#!/bin/bash
+# Restore wiped production-run state from the TRACKED evidence snapshots
+# (the inverse of snapshot_runs.sh's checkpoint capture). The host has
+# restarted and wiped output_*/ + runs_r2/ three times this build; the
+# committed checkpoints in runs_r2_evidence/ckpts/ let the chain resume a
+# config from its last committed frame instead of re-running it.
+#
+# Also re-creates runs_r2/*.done markers from done_markers.txt so the
+# chain skips completed configs — but ONLY when the marker's artifacts
+# are actually restorable: *_init.done requires gaussian_velocity_0.pt in
+# the config's output dir (the advance step would crash without it);
+# *_advance.done / *_density.done are trusted because their
+# completion-time analyzer verdicts are already committed.
+set -u
+cd "$(dirname "$0")/.."
+EV=runs_r2_evidence
+LOGDIR=${LOGDIR:-runs_r2}
+mkdir -p "$LOGDIR"
+
+if [ -d "$EV/ckpts" ]; then
+  for ck in "$EV"/ckpts/*/; do
+    [ -d "$ck" ] || continue
+    d=$(basename "$ck")
+    mkdir -p "$d"
+    n=0
+    for f in "$ck"gaussian_velocity_*.pt; do
+      [ -e "$f" ] || continue
+      if [ ! -e "$d/$(basename "$f")" ]; then
+        cp "$f" "$d/" && n=$((n + 1))
+      fi
+    done
+    [ "$n" != "0" ] && echo "restore: $d <- $n checkpoints from evidence"
+  done
+fi
+
+marker_dir() {
+  case $1 in
+    rc_*)  echo output_3d_ring_collide ;;
+    tv_*)  echo output_tv ;;
+    svr_*) echo output_3d_svr ;;
+    rwo_*) echo output_3d_rwo ;;
+    vp_*)  echo output_vp ;;
+    vortices_pass_narrow_*)    echo output_vortices_pass_narrow ;;
+    vortices_pass_noslip_*)    echo output_vortices_pass_noslip ;;
+    vortices_pass_particles_*) echo output_vortices_pass_particles ;;
+    *) echo "" ;;
+  esac
+}
+
+if [ -f "$EV/done_markers.txt" ]; then
+  while read -r m; do
+    [ -n "$m" ] || continue
+    [ -e "$LOGDIR/$m" ] && continue
+    name=${m%.done}
+    d=$(marker_dir "$name")
+    case $name in
+      *_init)
+        if [ -n "$d" ] && [ -e "$d/gaussian_velocity_0.pt" ]; then
+          touch "$LOGDIR/$m" && echo "restore: marker $m"
+        fi ;;
+      *)
+        touch "$LOGDIR/$m" && echo "restore: marker $m" ;;
+    esac
+  done < "$EV/done_markers.txt"
+fi

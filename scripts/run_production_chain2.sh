@@ -12,6 +12,10 @@ cd "$(dirname "$0")/.."
 LOGDIR=${LOGDIR:-runs_r2}
 mkdir -p "$LOGDIR"
 
+# After a host wipe, pull committed checkpoints + done markers back from
+# runs_r2_evidence/ so completed work is never re-run (round 3).
+bash scripts/restore_runs.sh | tee -a "$LOGDIR/chain.log"
+
 run() {
   name=$1; shift
   if [ -e "$LOGDIR/$name.done" ]; then echo "skip $name (done)"; return; fi

@@ -28,6 +28,34 @@ if [ -n "$dirs" ]; then
   timeout 600 python scripts/report_runs.py $dirs > "$EV/report_runs.txt" 2>&1 || true
 fi
 
+# Checkpoint durability (round 3): three host wipes have now destroyed
+# output_*/ checkpoint chains mid-run; log tails alone cannot re-earn a
+# run. Commit the checkpoints themselves: every frame for 3D dirs (<= 21
+# files x ~3.3 MB — the density replay needs the full sequence,
+# reference 3D/advance_density.py:103-107), every 10th + the latest for
+# long 2D horizons (enough for the physics analyzers and for --start_frame
+# resume). scripts/restore_runs.sh copies them back after a wipe.
+for d in $dirs; do
+  python - "$d" "$EV/ckpts/$d" <<'PY'
+import glob, os, re, shutil, sys
+d, ck = sys.argv[1], sys.argv[2]
+fs = {int(m.group(1)): f
+      for f in glob.glob(os.path.join(d, 'gaussian_velocity_*.pt'))
+      if (m := re.fullmatch(r'gaussian_velocity_(\d+)\.pt',
+                            os.path.basename(f)))}
+if not fs:
+    raise SystemExit
+keep = set(fs) if '3d' in d else {k for k in fs if k % 10 == 0}
+keep.add(max(fs))
+os.makedirs(ck, exist_ok=True)
+for k in sorted(keep):
+    src, dst = fs[k], os.path.join(ck, os.path.basename(fs[k]))
+    if not (os.path.exists(dst)
+            and os.path.getsize(dst) == os.path.getsize(src)):
+        shutil.copy2(src, dst)
+PY
+done
+
 # Completion-time analyzer evidence (VERDICT r2 item 1): when a config's
 # .done marker exists, run its physics analyzer ONCE (CPU) and commit the
 # verdict next to the log tails. Re-runs only if the marker is newer than
