@@ -57,6 +57,20 @@ from gaussian_fluids_tpu.ops import rotations as rotations_ops
 
 _CELLS_ENV = "GF_SPARSE_CELLS"       # override cells per axis (int)
 _HEADROOM_ENV = "GF_SPARSE_HEADROOM"  # pair-capacity safety factor
+_CHUNK_ENV = "GF_SPARSE_CHUNK"       # max queries per pair-list build
+
+# The pair list is O(B * N / cells): at the solver's hoisted-target sweeps
+# (solver/project run_chunk batches ~25 epochs of samples into one
+# 204,800-query call) an unchunked list would need ~130M slots and tens of
+# GB of temporaries (measured: 66 GB allocation, compile-time OOM on a
+# 16 GB chip). Public entry points therefore stream queries through the
+# core in fixed chunks; each chunk re-derives the counting sort (cheap
+# next to the pair evaluation).
+_DEFAULT_CHUNK = 16384
+
+
+def query_chunk() -> int:
+    return int(os.environ.get(_CHUNK_ENV, str(_DEFAULT_CHUNK)))
 
 
 def grid_dims(spec: FieldSpec) -> Tuple[Tuple[int, ...],
@@ -245,19 +259,42 @@ def _sparse_value_jac(params, alive, spec: FieldSpec, x: jnp.ndarray,
     return val, jac, ok_sparse
 
 
+def _chunked(params, alive, spec: FieldSpec, x: jnp.ndarray,
+             need_jac: bool):
+    """Stream queries through the core in fixed-size chunks so the pair
+    list stays bounded regardless of B. Pad queries sit far outside the
+    padded grid: they clip into the (always empty) pad ring and consume
+    zero pair slots."""
+    b, d = x.shape
+    chunk = query_chunk()
+    n = params["positions"].shape[0]
+    if b <= chunk:
+        L = pair_capacity(b, n, spec)
+        v, j, _ = _sparse_value_jac(params, alive, spec, x, L, need_jac)
+        return v, j
+    nchunk = -(-b // chunk)
+    far = jnp.asarray(spec.lo, jnp.float32) - jnp.asarray(
+        [hi - lo for lo, hi in zip(spec.lo, spec.hi)], jnp.float32)
+    xp = jnp.broadcast_to(far, (nchunk * chunk, d)).at[:b].set(x)
+    L = pair_capacity(chunk, n, spec)
+    vals, jacs = jax.lax.map(
+        lambda xc: _sparse_value_jac(params, alive, spec, xc, L,
+                                     need_jac)[:2],
+        xp.reshape(nchunk, chunk, d))
+    return (vals.reshape(-1, spec.vdim)[:b],
+            jacs.reshape(-1, spec.vdim, d)[:b])
+
+
 def value_and_jac_sparse(mix: GaussianMixture, spec: FieldSpec,
                          x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(u(x), du/dx) through the cell-list path (dense fallback under the
     guards). Shapes match ops.field.value_and_jac."""
-    L = pair_capacity(x.shape[0], mix.capacity, spec)
-    v, j, _ = _sparse_value_jac(mix.params(), mix.alive, spec, x, L, True)
-    return v, j
+    return _chunked(mix.params(), mix.alive, spec, x, True)
 
 
 def value_sparse(mix: GaussianMixture, spec: FieldSpec,
                  x: jnp.ndarray) -> jnp.ndarray:
-    L = pair_capacity(x.shape[0], mix.capacity, spec)
-    return _sparse_value_jac(mix.params(), mix.alive, spec, x, L, False)[0]
+    return _chunked(mix.params(), mix.alive, spec, x, False)[0]
 
 
 def two_head_grads_sparse(params, alive, spec: FieldSpec, x: jnp.ndarray,

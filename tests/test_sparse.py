@@ -167,3 +167,31 @@ def test_value_jac_matches_dense_2d():
     L = sparse.pair_capacity(x.shape[0], mix.capacity, spec)
     assert bool(sparse._sparse_value_jac(mix.params(), mix.alive, spec, x,
                                          L, True)[2])
+
+
+def test_chunked_queries_match_unchunked(monkeypatch):
+    """Public entry points stream large query sets through fixed chunks
+    (solver hoisted-target sweeps batch ~25 epochs into one call; an
+    unchunked pair list would be O(B*N/cells) — compile-time OOM at
+    production scale). Chunking must not change values, and pad queries
+    must not consume pair slots."""
+    mix, spec = _mix3(seed=7)
+    r = np.random.RandomState(4)
+    x = jnp.asarray(r.uniform(-0.02, 1.02, (403, 3)).astype(np.float32))
+    v1, j1 = sparse.value_and_jac_sparse(mix, spec, x)
+    monkeypatch.setenv("GF_SPARSE_CHUNK", "64")  # 403 -> 7 chunks
+    v2, j2 = sparse.value_and_jac_sparse(mix, spec, x)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=2e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(j2), np.asarray(j1), rtol=2e-6,
+                               atol=1e-6)
+    # each chunk must still take the sparse branch (the pad points clip
+    # into the empty pad ring; guards hold per chunk)
+    L = sparse.pair_capacity(64, mix.capacity, spec)
+    far = jnp.asarray(spec.lo, jnp.float32) - 1.0
+    xc = jnp.broadcast_to(far, (64, 3)).at[:39].set(x[:39])
+    assert bool(sparse._sparse_value_jac(mix.params(), mix.alive, spec,
+                                         xc, L, True)[2])
+    v3 = sparse.value_sparse(mix, spec, x)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v1), rtol=2e-6,
+                               atol=1e-7)
