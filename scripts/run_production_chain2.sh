@@ -16,6 +16,17 @@ mkdir -p "$LOGDIR"
 # runs_r2_evidence/ so completed work is never re-run (round 3).
 bash scripts/restore_runs.sh | tee -a "$LOGDIR/chain.log"
 
+# Dependency gate: skip a step when its prerequisite never completed
+# (e.g. a wedged rc_advance must not let rc_density replay a truncated
+# checkpoint sequence and mark itself done).
+need() {
+  if [ ! -e "$LOGDIR/$1" ]; then
+    echo "--- skipping $2 (missing prerequisite $1)" \
+      | tee -a "$LOGDIR/chain.log"
+    return 1
+  fi
+}
+
 run() {
   name=$1; shift
   if [ -e "$LOGDIR/$name.done" ]; then echo "skip $name (done)"; return; fi
@@ -59,7 +70,8 @@ EOF
 # ring_collide 3D at production N=64,000 (reference 3D/init_cond.py:22),
 # Justfile horizon (dt=.1, last_time=2 -> 20 frames).
 run rc_init    python initialize3d.py --init_cond ring_collide --dir output_3d_ring_collide
-adv rc_advance output_3d_ring_collide .1 2 python advance3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
+need rc_init.done rc_advance && \
+  adv rc_advance output_3d_ring_collide .1 2 python advance3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
 
 # density replay with auto-resume: restart from the last frame k for which
 # EVERY density tag's .vti exists (a crash mid-frame leaves tag 'a' one
@@ -87,11 +99,13 @@ PY
 # FULL 512^3 density replay over the whole ring_collide checkpoint sequence
 # (reference 3D/advance_density.py: res = visualize_res*4 = 512, replay
 # until gaussian_velocity_{frame}.pt is missing).
-dns rc_density output_3d_ring_collide python advance_density3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
+need rc_advance.done rc_density && \
+  dns rc_density output_3d_ring_collide python advance_density3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
 
 # taylor_vortex 2D: dt=.01, t=4 -> 400 frames (reference README.md:71)
 run tv_init    python initialize2d.py --init_cond taylor_vortex --dir output_tv
-adv tv_advance output_tv .01 4 python advance2d.py --init_cond taylor_vortex --dir output_tv --dt .01
+need tv_init.done tv_advance && \
+  adv tv_advance output_tv .01 4 python advance2d.py --init_cond taylor_vortex --dir output_tv --dt .01
 
 # the other two N=64,000 3D scenes (reference 3D/init_cond.py:23-24) —
 # promoted ahead of the vortices_pass variants: production-scale 3D
@@ -99,17 +113,21 @@ adv tv_advance output_tv .01 4 python advance2d.py --init_cond taylor_vortex --d
 # higher-value evidence (VERDICT round-1 missing #1 calls these "the big
 # one"); the 2D variants resume automatically next round.
 run svr_init    python initialize3d.py --init_cond single_vortex_ring --dir output_3d_svr
-adv svr_advance output_3d_svr .1 2 python advance3d.py --init_cond single_vortex_ring --dir output_3d_svr --dt .1
+need svr_init.done svr_advance && \
+  adv svr_advance output_3d_svr .1 2 python advance3d.py --init_cond single_vortex_ring --dir output_3d_svr --dt .1
 run rwo_init    python initialize3d.py --init_cond ring_with_obstacle --dir output_3d_rwo
-adv rwo_advance output_3d_rwo .1 2 python advance3d.py --init_cond ring_with_obstacle --dir output_3d_rwo --dt .1
+need rwo_init.done rwo_advance && \
+  adv rwo_advance output_3d_rwo .1 2 python advance3d.py --init_cond ring_with_obstacle --dir output_3d_rwo --dt .1
 
 # vortices_pass 2D: dt=.01, t=5 -> 500 frames (reference README.md:78)
 run vp_init    python initialize2d.py --init_cond vortices_pass --dir output_vp
-adv vp_advance output_vp .01 5 python advance2d.py --init_cond vortices_pass --dir output_vp --dt .01
+need vp_init.done vp_advance && \
+  adv vp_advance output_vp .01 5 python advance2d.py --init_cond vortices_pass --dir output_vp --dt .01
 
 # remaining vortices_pass variants (reference README.md:78)
 for scene in vortices_pass_narrow vortices_pass_noslip vortices_pass_particles; do
   run ${scene}_init    python initialize2d.py --init_cond $scene --dir output_$scene
+  need ${scene}_init.done ${scene}_advance && \
   adv ${scene}_advance output_$scene .01 5 python advance2d.py --init_cond $scene --dir output_$scene --dt .01
 done
 
