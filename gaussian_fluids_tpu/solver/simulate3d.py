@@ -457,6 +457,29 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
     return sampled.reshape(xn, yn, zn)
 
 
+def _write_density_small(host: np.ndarray, origin, spacing, path):
+    """Mean-pool the full-resolution density to <= 64 cells per axis and
+    save as a compressed .npz (~100s of KB vs 512 MB for the .vti). These
+    are the durable evidence for the 512^3 replay: the host running this
+    build has been wiped mid-run repeatedly, and the tracked evidence
+    snapshots can afford to commit the small volumes but never the full
+    ones. Physics analyzers gate on mass / center-of-mass / spread, all
+    of which mean-pooling preserves exactly (mass) or to pooled-cell
+    resolution (moments)."""
+    factors = [-(-s // 64) for s in host.shape]  # ceil: <= 64 cells/axis
+    trim = [s - s % f for s, f in zip(host.shape, factors)]
+    v = host[:trim[0], :trim[1], :trim[2]].reshape(
+        trim[0] // factors[0], factors[0],
+        trim[1] // factors[1], factors[1],
+        trim[2] // factors[2], factors[2]).mean(axis=(1, 3, 5))
+    np.savez_compressed(
+        path, density=v.astype(np.float16),
+        origin=np.asarray(origin, np.float64),
+        spacing=np.asarray(
+            [sp * f for sp, f in zip(spacing, factors)], np.float64),
+        full_shape=np.asarray(host.shape, np.int64))
+
+
 class _AsyncVtiWriter:
     """Single-slot pipelined .vti writer: fetch-to-host + file write run on
     a background thread so they overlap the NEXT density's on-device chunk
@@ -471,13 +494,15 @@ class _AsyncVtiWriter:
         self._pending = None
         self._error = None
 
-    def submit(self, dev_array, origin, spacing, path):
+    def submit(self, dev_array, origin, spacing, path, small_path=None):
         self.drain()
 
         def work():
             try:
-                vti.write_vti_array(np.asarray(dev_array), origin, spacing,
-                                    path)
+                host = np.asarray(dev_array)
+                vti.write_vti_array(host, origin, spacing, path)
+                if small_path is not None:
+                    _write_density_small(host, origin, spacing, small_path)
             except BaseException as e:  # re-raised on the caller's thread
                 self._error = e
 
@@ -542,8 +567,10 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
                                          r.normal, r.radius, r.thickness)
                 for r in rings]
         for tag, d in zip(tags, dens):
-            writer.submit(d, origin, spacing,
-                          os.path.join(out_dir, f"density_{tag}_{frame}.vti"))
+            writer.submit(
+                d, origin, spacing,
+                os.path.join(out_dir, f"density_{tag}_{frame}.vti"),
+                os.path.join(out_dir, f"density_small_{tag}_{frame}.npz"))
     while True:
         path = os.path.join(out_dir, f"gaussian_velocity_{frame}.pt")
         if not os.path.exists(path):
@@ -559,9 +586,11 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
                     advected_density_sharded
                 dens[i] = advected_density_sharded(
                     dens[i], mix, spec, domain, dt, (xn, yn, zn), mesh)
-            writer.submit(dens[i], origin, spacing,
-                          os.path.join(out_dir,
-                                       f"density_{tag}_{frame}.vti"))
+            writer.submit(
+                dens[i], origin, spacing,
+                os.path.join(out_dir, f"density_{tag}_{frame}.vti"),
+                os.path.join(out_dir,
+                             f"density_small_{tag}_{frame}.npz"))
         if verbose:
             print(f"Frame {frame} finished.")
     writer.drain()

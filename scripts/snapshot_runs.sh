@@ -35,6 +35,15 @@ fi
 # reference 3D/advance_density.py:103-107), every 10th + the latest for
 # long 2D horizons (enough for the physics analyzers and for --start_frame
 # resume). scripts/restore_runs.sh copies them back after a wipe.
+# Small (<=64^3, ~100s of KB) mean-pooled density volumes: the durable
+# evidence of the 512^3 replay (the full .vti volumes are 512 MB each and
+# can never be committed).
+for d in $dirs; do
+  ls "$d"/density_small_*.npz >/dev/null 2>&1 || continue
+  mkdir -p "$EV/ckpts/$d"
+  cp -u "$d"/density_small_*.npz "$EV/ckpts/$d/" 2>/dev/null || true
+done
+
 for d in $dirs; do
   python - "$d" "$EV/ckpts/$d" <<'PY'
 import glob, os, re, shutil, sys

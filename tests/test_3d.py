@@ -118,6 +118,13 @@ def test_density_pipeline_tiny(tmp_path):
     d1 = vti.read_vti_array(os.path.join(out, "density_a_1.vti"))
     assert np.isfinite(d1).all() and d1.max() <= 1.0 + 1e-5
     assert d1.sum() > 0  # the ring moved but did not vanish
+    # durable small-evidence twin: mean-pooled (<=64/axis) f16 volume with
+    # the pooled grid's geometry, written next to every .vti
+    small = np.load(os.path.join(out, "density_small_a_1.npz"))
+    assert small["density"].shape == (48, 48, 48)  # 48 <= 64: factor 1
+    np.testing.assert_allclose(np.asarray(small["density"], np.float32),
+                               d1, atol=5e-4)
+    assert tuple(small["full_shape"]) == d1.shape
 
 
 def test_density_replay_resume(tmp_path):
