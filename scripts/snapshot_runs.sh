@@ -90,6 +90,21 @@ for v in narrow noslip particles; do
     scripts/analyze_vortices_pass2d.py output_vortices_pass_${v} vortices_pass_${v}
 done
 
+# Partial-progress density analysis (round 3): the 512^3 replay takes
+# ~2.5 h and outlives rounds; hosts have been wiped mid-replay. Record
+# the physics verdict every ~4 new frames instead of waiting for .done.
+if ls output_3d_ring_collide/density_a_*.vti >/dev/null 2>&1; then
+  n=$(ls output_3d_ring_collide/density_a_*.vti | wc -l)
+  last=$(cat "$EV/.density_partial_n" 2>/dev/null || echo 0)
+  if [ ! -e "runs_r2/rc_density.done" ] && [ "$n" -ge $((last + 4)) ]; then
+    { echo "# PARTIAL 512^3 replay analysis at $n density-a frames ($(date -u +%FT%TZ))"
+      timeout 1800 python scripts/analyze_density3d.py \
+        output_3d_ring_collide 2>&1
+    } > "$EV/analyze_density3d_rc_partial.txt" || true
+    echo "$n" > "$EV/.density_partial_n"
+  fi
+fi
+
 # Path-restricted add/check/commit: the watcher runs this asynchronously,
 # so a bare `git commit` would sweep anything another process has staged
 # into the snapshot commit (ADVICE r2). `git commit -- <path>` commits only
