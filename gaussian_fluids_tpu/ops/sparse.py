@@ -151,6 +151,14 @@ def _sparse_value_jac(params, alive, spec: FieldSpec, x: jnp.ndarray,
     cnt = jnp.bincount(gcell, length=n_cells + 1)
     off = jnp.concatenate([jnp.zeros((1,), cnt.dtype),
                            jnp.cumsum(cnt)[:-1]])
+    # The dummy segment (not-in_dom Gaussians: dead padding rows and
+    # out-of-domain alive rows) must never be enumerated: pad/boundary
+    # queries whose out-of-grid neighbor offsets map to nbr_id == n_cells
+    # would otherwise book 19 * dead_count phantom pair slots each and
+    # trip the capacity guard at exactly the padded production scales the
+    # chunking was built for. Masking them out is exactness-preserving —
+    # the dense sum masks not-in_dom rows too (in_domain_mask).
+    cnt = cnt.at[n_cells].set(0)
 
     # --- per-query neighbor segments ---
     qci = _cell_ids(jax.lax.stop_gradient(x), spec, dims, pad_query=True)

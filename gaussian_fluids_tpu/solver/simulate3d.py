@@ -467,11 +467,19 @@ def _write_density_small(host: np.ndarray, origin, spacing, path):
     of which mean-pooling preserves exactly (mass) or to pooled-cell
     resolution (moments)."""
     factors = [-(-s // 64) for s in host.shape]  # ceil: <= 64 cells/axis
-    trim = [s - s % f for s, f in zip(host.shape, factors)]
-    v = host[:trim[0], :trim[1], :trim[2]].reshape(
-        trim[0] // factors[0], factors[0],
-        trim[1] // factors[1], factors[1],
-        trim[2] // factors[2], factors[2]).mean(axis=(1, 3, 5))
+    # mass preservation requires each axis divisible by its pool factor;
+    # trimming the remainder would silently lose edge mass, so fail loudly
+    # on any future non-divisible resolution instead (current shapes —
+    # 512^3 production, 48^3 tests — are exactly divisible).
+    for s, f in zip(host.shape, factors):
+        if s % f:
+            raise ValueError(
+                f"density shape {host.shape} not divisible by pooling "
+                f"factors {factors}; mean-pooling would drop edge planes")
+    v = host.reshape(
+        host.shape[0] // factors[0], factors[0],
+        host.shape[1] // factors[1], factors[1],
+        host.shape[2] // factors[2], factors[2]).mean(axis=(1, 3, 5))
     np.savez_compressed(
         path, density=v.astype(np.float16),
         origin=np.asarray(origin, np.float64),

@@ -44,8 +44,28 @@ while true; do
 
   echo "[watchdog] chain stalled ${age}s (pid $pid) — restarting" \
     | tee -a "$LOGDIR/chain.log"
-  kids=$(ps -o pid= --ppid "$pid" 2>/dev/null)
+  # Enumerate descendants RECURSIVELY, and re-snapshot after TERM: a
+  # child spawned between the snapshot and the kill (the chain advancing
+  # to its next config), or any grandchild, would otherwise be orphaned
+  # holding the TPU while the relaunched chain contends for it.
+  descendants() {
+    local q="$1" out="" kids k
+    while [ -n "$q" ]; do
+      kids=""
+      for k in $q; do
+        kids="$kids $(ps -o pid= --ppid "$k" 2>/dev/null)"
+      done
+      kids=$(echo $kids)
+      out="$out $kids"
+      q=$kids
+    done
+    echo $out
+  }
+  kids=$(descendants "$pid")
   kill -TERM "$pid" 2>/dev/null
+  for k in $kids; do kill -TERM "$k" 2>/dev/null; done
+  # anything that appeared between the snapshot and the TERM
+  kids="$kids $(descendants "$pid")"
   for k in $kids; do kill -TERM "$k" 2>/dev/null; done
   for i in $(seq 1 45); do
     alive=0

@@ -58,6 +58,22 @@ if [ -f "$EV/done_markers.txt" ]; then
         if [ -n "$d" ] && [ -e "$d/gaussian_velocity_0.pt" ]; then
           touch "$LOGDIR/$m" && echo "restore: marker $m"
         fi ;;
+      *_advance)
+        # Trust an advance marker only when the restored dir holds the
+        # run's FINAL checkpoint (3D configs: dt=.1, last_time=2 -> 20;
+        # taylor_vortex: 400; vortices_pass family: 500): a snapshot
+        # that committed the marker without the full frame set must not
+        # let the need-gated density step replay a truncated sequence.
+        case $name in
+          tv_advance) last=400 ;;
+          vp_advance|vortices_pass_*_advance) last=500 ;;
+          *) last=20 ;;
+        esac
+        if [ -n "$d" ] && [ -e "$d/gaussian_velocity_$last.pt" ]; then
+          touch "$LOGDIR/$m" && echo "restore: marker $m"
+        else
+          echo "restore: SKIP marker $m (missing $d/gaussian_velocity_$last.pt)"
+        fi ;;
       *)
         touch "$LOGDIR/$m" && echo "restore: marker $m" ;;
     esac

@@ -59,8 +59,12 @@ keep.add(max(fs))
 os.makedirs(ck, exist_ok=True)
 for k in sorted(keep):
     src, dst = fs[k], os.path.join(ck, os.path.basename(fs[k]))
+    # mtime comparison, not size: every checkpoint of a config is the
+    # same byte size, so size equality would freeze the first-ever copy
+    # even after a deliberate re-run changes the content (copy2
+    # preserves mtimes, so unchanged files still skip).
     if not (os.path.exists(dst)
-            and os.path.getsize(dst) == os.path.getsize(src)):
+            and os.path.getmtime(dst) == os.path.getmtime(src)):
         shutil.copy2(src, dst)
 PY
 done

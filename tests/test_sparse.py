@@ -195,3 +195,48 @@ def test_chunked_queries_match_unchunked(monkeypatch):
     v3 = sparse.value_sparse(mix, spec, x)
     np.testing.assert_allclose(np.asarray(v3), np.asarray(v1), rtol=2e-6,
                                atol=1e-7)
+
+
+def test_dead_rows_book_no_phantom_pairs(monkeypatch):
+    """Pad/boundary queries clip into the pad ring; their out-of-grid
+    neighbor offsets map to the dummy segment, whose count is the number
+    of NOT-in_dom Gaussians (dead padding rows + out-of-domain alive
+    rows). That segment must be zeroed before per-query counts are built,
+    or a padded mixture (dead rows are routine after clone/kill
+    re-padding) books 19 * dead_count phantom slots per pad query and
+    silently drops whole chunks to the dense fallback (ADVICE r3)."""
+    mix, spec = _mix3(seed=13, n=200, pad=True)
+    # force a fat dead tail: pad capacity well beyond the alive count
+    p = mix.params()
+    cap = mix.capacity + 256
+    pp = {k: jnp.zeros((cap,) + v.shape[1:], v.dtype).at[:mix.capacity]
+          .set(v) for k, v in p.items()}
+    # pad rotations with the identity quaternion: an all-zero quaternion
+    # normalizes to NaN in the dense oracle's precisions
+    pp["rotations"] = pp["rotations"].at[mix.capacity:, 0].set(1.0)
+    alive = jnp.zeros((cap,), bool).at[:mix.capacity].set(mix.alive)
+    mixp = GaussianMixture(pp["positions"], pp["scalings"],
+                           pp["rotations"], pp["values"], alive)
+    dead_count = int(cap - jnp.sum(alive))
+    assert dead_count >= 256
+    r = np.random.RandomState(14)
+    # non-multiple-of-chunk query count -> the last chunk is mostly pad
+    x = jnp.asarray(r.uniform(-0.02, 1.02, (71, 3)).astype(np.float32))
+    monkeypatch.setenv("GF_SPARSE_CHUNK", "64")
+    # tight capacity: with the phantom slots (19 * dead * pad_queries)
+    # the guard would trip; without them the real pairs fit comfortably
+    monkeypatch.setenv("GF_SPARSE_HEADROOM", "1.5")
+    L = sparse.pair_capacity(64, cap, spec)
+    assert L < 19 * dead_count * 57  # phantom load would overflow L
+    far = jnp.asarray(spec.lo, jnp.float32) - 1.0
+    xc = jnp.broadcast_to(far, (64, 3)).at[:7].set(x[64:])
+    used = sparse._sparse_value_jac(mixp.params(), mixp.alive, spec, xc,
+                                    L, True)[2]
+    assert bool(used), "pad queries booked phantom dead-row pair slots"
+    # and the streamed public path agrees with dense on the padded mixture
+    vs, js = sparse.value_and_jac_sparse(mixp, spec, x)
+    vd, jd = field.value_and_jac_dense(mixp, spec, x)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vd), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(js), np.asarray(jd), rtol=2e-5,
+                               atol=1e-5)
