@@ -120,17 +120,46 @@ class GaussianMixture:
         return GaussianMixture(pos, _pad(scalings), rot, _pad(values), alive)
 
     def spatially_sorted(self) -> "GaussianMixture":
-        """Reorder Gaussians by position coordinate 0 (dead rows last).
+        """Reorder Gaussians by the canonical spatial key (dead rows
+        last): coordinate 0 in 2D (thin x-slab tiles are optimal there),
+        Morton/Z-order in 3D (tiles become compact cubes so the tile
+        mask can cull y and z too — ops/spatial.py).
 
         Gaussian order is semantically irrelevant (all evaluations are
-        order-invariant sums), but the block-sparse Pallas backend
-        (ops/field.py value_and_jac_centered) skips (query-tile x
-        gaussian-tile) pairs by bounding box, which only pays off when
-        tiles are spatially compact. The solver calls this at frame
-        boundaries; within a frame positions drift too slowly to matter.
-        Jittable."""
+        order-invariant sums), but the block-sparse Pallas backends
+        (ops/field.py value_and_jac_centered / the gsr_cells work-list
+        kernels) skip (query-tile x gaussian-tile) pairs by bounding box,
+        which only pays off when tiles are spatially compact. The solver
+        calls this at frame boundaries; within a frame positions drift
+        too slowly to matter. Jittable.
+
+        NOTE for x-band consumers (the banded density kernel,
+        ops/field.py value_banded): 3D checkpoints saved from a
+        Morton-sorted solver are NOT x-sorted; value_banded's band guard
+        handles any order safely, but band efficiency requires the
+        caller to re-sort by x (solver/simulate3d does at load)."""
+        if self.d == 3:
+            from gaussian_fluids_tpu.ops import spatial as spatial_ops
+            pos = self.positions
+            big = jnp.where(self.alive[:, None], pos, jnp.nan)
+            lo = jnp.nan_to_num(jnp.nanmin(big, axis=0), nan=0.0)
+            hi = jnp.nan_to_num(jnp.nanmax(big, axis=0), nan=1.0)
+            key = spatial_ops.morton_key(pos, lo, hi)
+            key = jnp.where(self.alive, key, jnp.int32(1 << 30))
+        else:
+            key = jnp.where(self.alive, self.positions[:, 0], jnp.inf)
+        order = jnp.argsort(key, stable=True)
+        return GaussianMixture(self.positions[order], self.scalings[order],
+                               self.rotations[order], self.values[order],
+                               self.alive[order])
+
+    def x_sorted(self) -> "GaussianMixture":
+        """Reorder by position coordinate 0 (dead rows last) regardless of
+        dimension — the order the banded x-window kernel (ops/field.py
+        value_banded) needs for narrow bands. The density replay re-sorts
+        loaded (Morton-ordered in 3D) checkpoints through this."""
         key = jnp.where(self.alive, self.positions[:, 0], jnp.inf)
-        order = jnp.argsort(key)
+        order = jnp.argsort(key, stable=True)
         return GaussianMixture(self.positions[order], self.scalings[order],
                                self.rotations[order], self.values[order],
                                self.alive[order])

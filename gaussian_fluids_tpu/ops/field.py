@@ -74,6 +74,41 @@ def _use_sparse(b: int, n: int, d: int) -> bool:
     return os.environ.get(_BACKEND_ENV, "auto") == "sparse"
 
 
+# Work-list (cell-culled) Pallas backend (ops/pallas/gsr_cells.py):
+# Morton-sorted fine tiles + flat live-pair work lists. The production 3D
+# training path (GF_FIELD_BACKEND=cells forces it; "dense"/"pallas"/
+# "sparse" disable it); in auto mode it takes over the 3D epoch scales
+# where the x-sorted tile mask wastes 42-70x pairs (BASELINE.md "3D-scale
+# bound"; A/B in scripts/bench_cells_ab.py).
+_CELLS_MIN_BN = 1 << 26   # ~8192 x 8192: below this the centered mask is fine
+
+
+def _use_cells(b: int, n: int, d: int) -> bool:
+    mode = os.environ.get(_BACKEND_ENV, "auto")
+    if mode == "cells":
+        return True
+    if mode != "auto":
+        return False
+    return (d == 3 and jax.default_backend() in ("tpu", "axon")
+            and b >= _PALLAS_MIN_B and b * n >= _CELLS_MIN_BN
+            and os.environ.get("GF_CELLS", "1") != "0")
+
+
+def _cells_tiles(d: int):
+    tb = int(os.environ.get("GF_CELLS_TB", "32"))
+    tn = int(os.environ.get("GF_CELLS_TN", "256"))
+    return tb, tn
+
+
+def _cells_cap(nbt: int, nnt: int) -> int:
+    """Static work-list capacity: a density-fraction budget over the full
+    tile grid plus the keep-alive floor. Too small is SAFE (the overflow
+    flag falls back to the full masked sweep) but slow if chronic; too
+    big wastes dead grid steps. Tuned on-chip (scripts/bench_cells_ab.py)."""
+    frac = float(os.environ.get("GF_CELLS_CAP", "0.12"))
+    return int(frac * nbt * nnt) + max(nbt, nnt)
+
+
 def in_domain_mask(mix: GaussianMixture, spec: FieldSpec) -> jnp.ndarray:
     """(N,) bool: alive and centre inside the padded domain."""
     lo = jnp.asarray(spec.lo, jnp.float32)
@@ -144,6 +179,8 @@ def value(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     if _use_sparse(x.shape[0], mix.capacity, mix.d):
         from gaussian_fluids_tpu.ops import sparse as sparse_ops
         return sparse_ops.value_sparse(mix, spec, x)
+    if not need_dx and _use_cells(x.shape[0], mix.capacity, mix.d):
+        return _cells_value_jac(mix, spec, x, 0, presorted=presorted)[0]
     if _use_pallas(x.shape[0], mix.capacity):
         return value_centered(mix, spec, x, presorted=presorted,
                               need_dx=need_dx)
@@ -166,6 +203,8 @@ def value_and_jac(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
     if _use_sparse(x.shape[0], mix.capacity, mix.d):
         from gaussian_fluids_tpu.ops import sparse as sparse_ops
         return sparse_ops.value_and_jac_sparse(mix, spec, x)
+    if not need_dx and _use_cells(x.shape[0], mix.capacity, mix.d):
+        return _cells_value_jac(mix, spec, x, mix.d, presorted=presorted)
     if _use_pallas(x.shape[0], mix.capacity):
         return value_and_jac_centered(mix, spec, x, presorted=presorted,
                                       need_dx=need_dx)
@@ -600,6 +639,9 @@ def two_head_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
         return sparse_ops.two_head_grads_sparse(
             params, alive, spec, x, head1, head2,
             heads_use_val=heads_use_val)
+    if _use_cells(x.shape[0], cap, spec.d):
+        return two_head_grads_cells(params, alive, spec, x, head1, head2,
+                                    heads_use_val=heads_use_val)
     if _use_pallas(x.shape[0], cap):
         return two_head_grads_centered(params, alive, spec, x, head1, head2,
                                        heads_use_val=heads_use_val)
@@ -614,6 +656,161 @@ def two_head_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
     (l1, l2), vjp = jax.vjp(heads, params)
     g1 = vjp((jnp.ones(()), jnp.zeros(())))[0]
     g2 = vjp((jnp.zeros(()), jnp.ones(())))[0]
+    return (l1, l2), (g1, g2)
+
+
+# ---- work-list (cell-culled) Pallas backend ----
+#
+# Morton-sorted queries + Morton-sorted mixture rows (models/mixture.py
+# spatially_sorted) make fine tiles spatially compact cubes in 3D; the
+# exact bbox tile mask is compacted into flat live-pair work lists
+# (ops/spatial.flat_work_list) and the gsr_cells kernels walk only those.
+# Overflowing the static list capacity falls back to the full masked
+# sweep via lax.cond — exactness can never depend on the capacity.
+
+
+def _cells_lists(tmask: jnp.ndarray, cap: int):
+    from gaussian_fluids_tpu.ops import spatial as spatial_ops
+    m = tmask.astype(bool)
+    rows, cols, okf = spatial_ops.flat_work_list(m, cap)
+    gtiles, qtiles, okb = spatial_ops.flat_work_list(m.T, cap)
+    return rows, cols, gtiles, qtiles, okf & okb
+
+
+def _cells_fwd_dispatch(ok, tmask, rows, cols, x, muT, ppT, values, d,
+                        vdim, clamp, tb, tn, njac):
+    from gaussian_fluids_tpu.ops.pallas import gsr_centered, gsr_cells
+    return jax.lax.cond(
+        ok,
+        lambda: gsr_cells.fused_gsr_cells_fwd(
+            rows, cols, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac),
+        lambda: gsr_centered._fwd(
+            tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def _cells_core(ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT,
+                values, d, vdim, clamp, tb, tn, njac):
+    """(B, (1+njac)*vdim) field columns over the work list, differentiable
+    in (muT, ppT, values) via the work-list dn kernel. x is a constant of
+    the loss (training epochs; need_dx callers use the centered path)."""
+    return _cells_fwd_dispatch(ok, tmask, rows, cols, x, muT, ppT, values,
+                               d, vdim, clamp, tb, tn, njac)
+
+
+def _cells_core_fwd(ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT,
+                    values, d, vdim, clamp, tb, tn, njac):
+    out = _cells_fwd_dispatch(ok, tmask, rows, cols, x, muT, ppT, values,
+                              d, vdim, clamp, tb, tn, njac)
+    return out, (ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT,
+                 values)
+
+
+def _cells_core_bwd(d, vdim, clamp, tb, tn, njac, res, dout):
+    from gaussian_fluids_tpu.ops.pallas import gsr_centered, gsr_cells
+    ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT, values = res
+    dmuT, dppT, dv = jax.lax.cond(
+        ok,
+        lambda: gsr_cells.fused_gsr_cells_bwd1(
+            gtiles, qtiles, x, muT, ppT, values, dout, d, vdim, clamp,
+            tb, tn, njac=njac, use_val=True),
+        lambda: tuple(gsr_centered._bwd(
+            tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn,
+            njac, need_dx=False)[1:]))
+    z = jnp.zeros_like
+    return (z(ok), z(tmask), z(rows), z(cols), z(gtiles), z(qtiles),
+            z(x), dmuT, dppT, dv)
+
+
+_cells_core.defvjp(_cells_core_fwd, _cells_core_bwd)
+
+
+def _cells_prep(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
+                tb: int, tn: int):
+    """(x_p, b, tmask, work lists, ok) for the cells path. ``x`` must be
+    presorted by ops.spatial.sort_key (the 3D solver sorts each batch)."""
+    mix_sg = GaussianMixture(*[jax.lax.stop_gradient(a) for a in
+                               (mix.positions, mix.scalings,
+                                mix.rotations, mix.values)], mix.alive)
+    x_p, b, _, _, _, _, tmask = _centered_prep(mix_sg, spec, x, tb, tn,
+                                               presorted=True)
+    cap = _cells_cap(*tmask.shape)
+    rows, cols, gtiles, qtiles, ok = _cells_lists(tmask, cap)
+    return x_p, b, tmask, rows, cols, gtiles, qtiles, ok
+
+
+def _cells_value_jac(mix: GaussianMixture, spec: FieldSpec,
+                     x: jnp.ndarray, njac: int, presorted: bool = True):
+    """(val, jac|None) via the work-list kernels, differentiable in the
+    mixture parameters (x treated as constant — need_dx callers go
+    centered)."""
+    d, vdim = mix.d, mix.vdim
+    tb, tn = _cells_tiles(d)
+    inv = None
+    if not presorted:
+        from gaussian_fluids_tpu.ops import spatial as spatial_ops
+        x, inv = spatial_ops.sort_queries(x, spec.lo, spec.hi)
+    x_p, b, tmask, rows, cols, gtiles, qtiles, ok = _cells_prep(
+        mix, spec, x, tb, tn)
+    mu_p, pp_p, v_p = _padded_param_rows(mix, spec, tn)  # differentiable
+    out = _cells_core(ok, tmask, rows, cols, gtiles, qtiles, x_p,
+                      mu_p.T, pp_p.T, v_p, d, vdim,
+                      float(spec.clamp_threshold), tb, tn, njac)[:b]
+    val = out[:, :vdim]
+    jac = None
+    if njac:
+        jac = jnp.transpose(out[:, vdim:].reshape(b, njac, vdim), (0, 2, 1))
+    if inv is not None:
+        val = val[inv]
+        jac = jac[inv] if jac is not None else None
+    return val, jac
+
+
+def two_head_grads_cells(params, alive, spec: FieldSpec, x: jnp.ndarray,
+                         head1, head2, heads_use_val: bool = True):
+    """Work-list twin of :func:`two_head_grads_centered`: one gathered
+    forward + one dual-cotangent gathered backward over the live tile
+    pairs only. ``x`` presorted by ops.spatial.sort_key."""
+    from gaussian_fluids_tpu.ops.pallas import gsr_centered, gsr_cells
+    d, vdim = spec.d, spec.vdim
+    tb, tn = _cells_tiles(d)
+    b = x.shape[0]
+    clamp = float(spec.clamp_threshold)
+    mix = GaussianMixture(params["positions"], params["scalings"],
+                          params["rotations"], params["values"], alive)
+    x_p, _, tmask, rows, cols, gtiles, qtiles, ok = _cells_prep(
+        mix, spec, x, tb, tn)
+
+    def prep(p):
+        m = GaussianMixture(p["positions"], p["scalings"],
+                            p["rotations"], p["values"], alive)
+        mu_p, pp_p, v_p = _padded_param_rows(m, spec, tn)
+        return mu_p.T, pp_p.T, v_p
+
+    (muT, ppT, v_p), prep_vjp = jax.vjp(prep, params)
+    out = _cells_fwd_dispatch(ok, tmask, rows, cols, x_p, muT, ppT, v_p,
+                              d, vdim, clamp, tb, tn, d)[:b]
+
+    def head_on_out(head, o):
+        val = o[:, :vdim]
+        jac = jnp.transpose(o[:, vdim:].reshape(b, d, vdim), (0, 2, 1))
+        return head(val, jac)
+
+    one = jnp.ones(())
+    l1, h1_vjp = jax.vjp(functools.partial(head_on_out, head1), out)
+    l2, h2_vjp = jax.vjp(functools.partial(head_on_out, head2), out)
+    dout1 = _pad_axis(h1_vjp(one)[0], tb, axis=0)
+    dout2 = _pad_axis(h2_vjp(one)[0], tb, axis=0)
+    t1, t2 = jax.lax.cond(
+        ok,
+        lambda: gsr_cells.fused_gsr_cells_bwd2(
+            gtiles, qtiles, x_p, muT, ppT, v_p, dout1, dout2, d, vdim,
+            clamp, tb, tn, use_val=heads_use_val),
+        lambda: gsr_centered.fused_gsr_centered_bwd2(
+            tmask, x_p, muT, ppT, v_p, dout1, dout2, d, vdim, clamp, tb,
+            tn, use_val=heads_use_val))
+    g1 = prep_vjp(t1)[0]
+    g2 = prep_vjp(t2)[0]
     return (l1, l2), (g1, g2)
 
 

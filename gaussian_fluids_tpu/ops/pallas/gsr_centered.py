@@ -1,6 +1,7 @@
 """Centered fused Pallas TPU kernel for Gaussian field value + Jacobian.
 
-Replaces the polynomial-feature kernel (gsr_kernel.py) on the hot path. Two
+Replaces the round-1 polynomial-feature kernel (deleted in round 2) on the
+hot path. Two
 structural fixes make it both faster and numerically safe at bf16 MXU
 precision (DEFAULT):
 

@@ -27,6 +27,7 @@ import numpy as np
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture, mixture_of
 from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.ops import spatial as spatial_ops
 from gaussian_fluids_tpu.ops.rotations import precision_matrix
 from gaussian_fluids_tpu.solver import losses, optim
 from gaussian_fluids_tpu.solver.loop import Patience, run_chunked
@@ -148,8 +149,9 @@ def split_gaussians_3d(mix: GaussianMixture, spec: FieldSpec,
     if total_split == 0:
         # nothing split: skip the host-side rebuild/re-upload entirely
         return mix, stop, 0
-    # coordinate-0 sort for the block-sparse backend; stop stays aligned
-    order = np.argsort(pos[:, 0], kind="stable")
+    # canonical spatial sort (Morton in 3D — ops/spatial.py) for the
+    # block-sparse backends; stop stays aligned
+    order = np.argsort(spatial_ops.sort_key_np(pos), kind="stable")
     return (GaussianMixture.from_arrays(pos[order], sca[order], rot[order],
                                         val[order], spec,
                                         min_capacity=mix.capacity),
@@ -238,7 +240,8 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
             x = jax.random.uniform(key, (batch_size, d), jnp.float32) \
                 * (hi - lo) + lo
             if field._use_pallas(batch_size, params["positions"].shape[0]):
-                x = x[jnp.argsort(x[:, 0])]  # sort once; evals presorted
+                # canonical spatial key (Morton in 3D; ops/spatial.py)
+                x = x[jnp.argsort(spatial_ops.sort_key(x, lo, hi))]
                 # (dense backend ignores the hint — skip the pure-overhead
                 # sort)
             if target_grid is not None:
@@ -281,10 +284,12 @@ def _clone_runner(spec: FieldSpec, batch_size: int,
         data = jax.vmap(
             lambda k: jax.random.uniform(k, (batch_size, d), jnp.float32)
             * (hi - lo) + lo)(keys)
-        data = jax.vmap(lambda x: x[jnp.argsort(x[:, 0])])(data)
+        data = jax.vmap(lambda x: x[jnp.argsort(
+            spatial_ops.sort_key(x, lo, hi))])(data)
         g = sweep_group(n, batch_size)
         rv, rj = jax.lax.map(
-            lambda c: field.value_and_jac(old_mix, spec, c, presorted=True),
+            lambda c: field.value_and_jac(old_mix, spec, c, presorted=True,
+                                          need_dx=False),
             data.reshape(n // g, g * batch_size, d))
         return jax.lax.scan(
             epoch, carry,

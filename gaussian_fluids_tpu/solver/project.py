@@ -36,6 +36,7 @@ import numpy as np
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.models.mixture import GaussianMixture, mixture_of
 from gaussian_fluids_tpu.ops import field
+from gaussian_fluids_tpu.ops import spatial as spatial_ops
 from gaussian_fluids_tpu.solver import covector, losses, optim
 from gaussian_fluids_tpu.solver.loop import Patience, run_chunked
 from gaussian_fluids_tpu.utils.grids import pad_chunks, sweep_group
@@ -206,7 +207,8 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         kds = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
         data = jax.vmap(
             lambda k: _uniform_batch(k, batch_size, lo, hi))(kds)
-        data = jax.vmap(lambda x: x[jnp.argsort(x[:, 0])])(data)
+        data = jax.vmap(lambda x: x[jnp.argsort(
+            spatial_ops.sort_key(x, lo_j, hi_j))])(data)
         g = sweep_group(n, batch_size)
         vor = jax.lax.map(
             lambda c: covector.advected_vorticity_2d(old_mix, spec, c, dt,
@@ -417,7 +419,10 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         if not hoisted:
             data = _uniform_batch(kd, batch_size, lo_j, hi_j)
             if sorting:
-                data = data[jnp.argsort(data[:, 0])]  # sort once per epoch
+                # canonical spatial key (Morton in 3D): compact cube
+                # tiles so the mask can cull y/z too (ops/spatial.py)
+                data = data[jnp.argsort(
+                    spatial_ops.sort_key(data, lo_j, hi_j))]
         if target_grid is not None:
             # cached-target mode: the exact covector targets were
             # precomputed once on a regular grid (the old field is frozen
@@ -459,7 +464,7 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
             if boundary_lambda > 0.0 and bs_freeslip is not None:
                 bd, bn = bs_freeslip(kb, batch_size)
                 if sorting:
-                    o = jnp.argsort(bd[:, 0])
+                    o = jnp.argsort(spatial_ops.sort_key(bd, lo_j, hi_j))
                     bd, bn = bd[o], bn[o]
                 c = losses.boundary_freeslip_loss(
                     field.value(m, spec, bd, presorted=True,
@@ -506,7 +511,8 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         kds = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
         data = jax.vmap(
             lambda k: _uniform_batch(k, batch_size, lo_j, hi_j))(kds)
-        data = jax.vmap(lambda x: x[jnp.argsort(x[:, 0])])(data)
+        data = jax.vmap(lambda x: x[jnp.argsort(
+            spatial_ops.sort_key(x, lo_j, hi_j))])(data)
         g = sweep_group(n, batch_size)
         vor, hel = jax.lax.map(
             lambda c: covector.advected_vorticity_3d(old_mix, spec, c, dt,
@@ -578,7 +584,7 @@ def _runner_3d(spec: FieldSpec, scene_name: Optional[str],
         if boundary_lambda > 0.0 and bs_freeslip is not None:
             bd, bn = bs_freeslip(key, batch_size)
             if field._use_pallas(batch_size, params["positions"].shape[0]):
-                o = jnp.argsort(bd[:, 0])
+                o = jnp.argsort(spatial_ops.sort_key(bd, lo_j, hi_j))
                 bd, bn = bd[o], bn[o]
             bc = bc + losses.boundary_freeslip_loss(
                 field.value(mix, spec, bd, presorted=True, need_dx=False),

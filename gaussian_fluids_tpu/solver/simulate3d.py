@@ -432,6 +432,7 @@ def advected_density_n(density0, out_dir, spec_domain, dt, n_frames,
     for i in range(n_frames - 1, -1, -1):
         mix, spec = checkpoint.load_checkpoint(
             os.path.join(out_dir, f"gaussian_velocity_{i}.pt"))
+        mix = mix.x_sorted()   # banded x-window kernel needs x-order
         dtj = jnp.asarray(dt, jnp.float32)
         fchunk = chunk
         if use_pallas:
@@ -584,6 +585,7 @@ def advance_density(init_cond: str, out_dir: str, dt: float,
         if not os.path.exists(path):
             break
         mix, spec = checkpoint.load_checkpoint(path)
+        mix = mix.x_sorted()   # banded x-window kernel needs x-order
         frame += 1
         for i, tag in enumerate(tags):
             if mesh is None:
