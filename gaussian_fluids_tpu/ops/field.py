@@ -89,9 +89,11 @@ def _use_cells(b: int, n: int, d: int) -> bool:
         return True
     if mode != "auto":
         return False
+    # default flips to "1" once the on-chip A/B at production scale is in
+    # (scripts/bench_cells_ab.py; BASELINE.md round-4 section)
     return (d == 3 and jax.default_backend() in ("tpu", "axon")
             and b >= _PALLAS_MIN_B and b * n >= _CELLS_MIN_BN
-            and os.environ.get("GF_CELLS", "1") != "0")
+            and os.environ.get("GF_CELLS", "0") == "1")
 
 
 def _cells_tiles(d: int):

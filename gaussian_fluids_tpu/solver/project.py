@@ -207,8 +207,7 @@ def _runner_2d(spec: FieldSpec, scene_name: str, w: ProjectWeights,
         kds = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
         data = jax.vmap(
             lambda k: _uniform_batch(k, batch_size, lo, hi))(kds)
-        data = jax.vmap(lambda x: x[jnp.argsort(
-            spatial_ops.sort_key(x, lo_j, hi_j))])(data)
+        data = jax.vmap(lambda x: x[jnp.argsort(x[:, 0])])(data)
         g = sweep_group(n, batch_size)
         vor = jax.lax.map(
             lambda c: covector.advected_vorticity_2d(old_mix, spec, c, dt,

@@ -1,6 +1,7 @@
 """Multi-device sharding on the 8-way virtual CPU mesh: the sharded train
 step must run and match the single-device result."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1021,3 +1022,56 @@ def test_sharded_density_step_matches_single_device(monkeypatch):
         dens0, mix, spec, domain, dt, gs, mesh, chunk=512))
     make_sharded_density_step.cache_clear()
     np.testing.assert_allclose(outp, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cli_frame_loop_mesh_matches_single_device(monkeypatch, tmp_path):
+    """VERDICT r3 item 7: the FULL frame-loop CLI path under --mesh.
+    `advance_2d(mesh_shape=cli.parse_mesh("4x2"))` for two frames on the
+    virtual mesh must track the single-device run — the splitting +
+    repad-under-sharding seam the library-level test_full_frame_sharded
+    does not cross (it hand-wires driver calls; this goes through
+    cli.parse_mesh -> simulate2d.advance_2d -> parallel.driver)."""
+    monkeypatch.setenv("GF_FIELD_BACKEND", "dense")
+    from gaussian_fluids_tpu import cli
+    from gaussian_fluids_tpu.io import checkpoint
+    from gaussian_fluids_tpu.ops import field
+    from gaussian_fluids_tpu.solver.simulate2d import (advance_2d,
+                                                       initialize_2d)
+
+    assert cli.parse_mesh("4x2") == (4, 2)
+    base = str(tmp_path / "single")
+    os.makedirs(base)
+    initialize_2d("taylor_green", base, max_epoch=150, viz=False,
+                  particle_count=(10, 10), verbose=0)
+    shard_dir = str(tmp_path / "sharded")
+    os.makedirs(shard_dir)
+    import shutil
+    shutil.copy(os.path.join(base, "gaussian_velocity_0.pt"),
+                os.path.join(shard_dir, "gaussian_velocity_0.pt"))
+
+    advance_2d("taylor_green", base, dt=.001, last_time=.002,
+               max_epoch=100, viz=False, verbose=0, test_res=(20, 20))
+    advance_2d("taylor_green", shard_dir, dt=.001, last_time=.002,
+               max_epoch=100, viz=False, verbose=0, test_res=(20, 20),
+               mesh_shape=cli.parse_mesh("4x2"))
+
+    for n in (1, 2):
+        assert os.path.exists(
+            os.path.join(shard_dir, f"gaussian_velocity_{n}.pt"))
+    m1, spec1 = checkpoint.load_checkpoint(
+        os.path.join(base, "gaussian_velocity_2.pt"))
+    m2, spec2 = checkpoint.load_checkpoint(
+        os.path.join(shard_dir, "gaussian_velocity_2.pt"))
+    assert spec1 == spec2
+    # same splitting decisions -> same Gaussian count (the repad seam)
+    assert int(m1.n_alive()) == int(m2.n_alive())
+    # the two optimizations differ only by float reduction order; after
+    # 2 frames x 100 epochs the FIELDS they converged to must agree to
+    # a small fraction of the field scale
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.uniform(0.5, 5.5, (128, 2)), jnp.float32)
+    v1, _ = field.value_and_jac(m1, spec1, x)
+    v2, _ = field.value_and_jac(m2, spec2, x)
+    scale = float(jnp.abs(v1).mean())
+    err = float(jnp.abs(v1 - v2).mean())
+    assert err < 0.05 * scale, (err, scale)

@@ -58,6 +58,8 @@ def test_split_keeps_stop_mask_aligned():
         pos_old = np.asarray(mix.positions)[np.asarray(mix.alive)]
         dists = np.abs(pos_new[:, None, :] - pos_old[None, :, :]).sum(-1)
         assert (dists.min(axis=1) < 1e-6).all()
-        # alive rows sorted by coordinate 0
-        x0 = np.asarray(new_mix.positions)[:n, 0]
-        assert (np.diff(x0) >= 0).all()
+        # alive rows sorted by the canonical spatial key (coordinate 0 in
+        # 2D, Morton in 3D — ops/spatial.py)
+        from gaussian_fluids_tpu.ops import spatial
+        key = spatial.sort_key_np(np.asarray(new_mix.positions)[:n])
+        assert (np.diff(key) >= 0).all()
