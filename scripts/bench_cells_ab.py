@@ -29,12 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def _build(env):
     """(Re)build the 3D projection runner under the given env (dispatch
-    decisions are read at trace time)."""
+    decisions are read at trace time). The runners are lru_cached per
+    static config — clear them or every config would silently reuse the
+    FIRST config's traced program (observed: seven identical 19.2-eps
+    rows on 2026-08-21)."""
     for k, v in env.items():
         if v is None:
             os.environ.pop(k, None)
         else:
             os.environ[k] = str(v)
+    from gaussian_fluids_tpu.solver import project
+    project._runner_2d.cache_clear()
+    project._runner_3d.cache_clear()
     import bench
     return bench.build_state_3d()
 

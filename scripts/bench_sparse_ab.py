@@ -92,6 +92,9 @@ def measure_band_guard():
 
     run_chunk, carry, mix, spec, src = bench.build_state_3d()
     del run_chunk, carry
+    # build_state_3d Morton-sorts (round 4); the banded x-window kernel
+    # needs the x order the density replay uses (mixture.x_sorted)
+    mix = mix.x_sorted()
     B = 1 << 19   # one device-resident grid chunk of the 512^3 sweep
     g64 = np.linspace(0, 1, 64, dtype=np.float32)
     g128 = np.linspace(0, 1, 128, dtype=np.float32)
