@@ -134,11 +134,14 @@ class GaussianMixture:
         too slowly to matter. Jittable.
 
         NOTE for x-band consumers (the banded density kernel,
-        ops/field.py value_banded): 3D checkpoints saved from a
-        Morton-sorted solver are NOT x-sorted; value_banded's band guard
-        handles any order safely, but band efficiency requires the
-        caller to re-sort by x (solver/simulate3d does at load)."""
-        if self.d == 3:
+        ops/field.py value_banded): under the opt-in Morton key
+        (GF_SPATIAL_KEY=morton, measured worse at production tiles —
+        ops/spatial.sort_key) 3D checkpoints are NOT x-sorted;
+        value_banded's band guard handles any order safely, but band
+        efficiency requires the caller to re-sort by x
+        (solver/simulate3d does at load via x_sorted())."""
+        import os
+        if self.d == 3 and os.environ.get("GF_SPATIAL_KEY") == "morton":
             from gaussian_fluids_tpu.ops import spatial as spatial_ops
             pos = self.positions
             big = jnp.where(self.alive[:, None], pos, jnp.nan)

@@ -74,13 +74,15 @@ def _use_sparse(b: int, n: int, d: int) -> bool:
     return os.environ.get(_BACKEND_ENV, "auto") == "sparse"
 
 
-# Work-list (cell-culled) Pallas backend (ops/pallas/gsr_cells.py):
-# Morton-sorted fine tiles + flat live-pair work lists. The production 3D
-# training path (GF_FIELD_BACKEND=cells forces it; "dense"/"pallas"/
-# "sparse" disable it); in auto mode it takes over the 3D epoch scales
-# where the x-sorted tile mask wastes 42-70x pairs (BASELINE.md "3D-scale
-# bound"; A/B in scripts/bench_cells_ab.py).
-_CELLS_MIN_BN = 1 << 26   # ~8192 x 8192: below this the centered mask is fine
+# Work-list (cells) Pallas backend (ops/pallas/gsr_cells.py): the coarse
+# tile mask compacted into a flat list of live tile pairs, so the kernel
+# grid walks ONLY those — a masked sweep with zero skipped steps. On-chip
+# A/B at ring_collide production scale (frame-20 checkpoint, x-sorted,
+# 256x512 tiles, density 0.13): fwd 3.52 -> 2.07 ms, dual-backward 7.55
+# -> 5.73 ms. FINE tiles (Morton-sorted 8-32 x 128-256) are a measured
+# negative: 0.4-1 us fixed cost per grid step swamps the ~2x pair
+# reduction (fwd 11-16 ms, bwd 25-39 ms) — see ops/spatial.sort_key.
+_CELLS_MIN_BN = 1 << 26   # ~8192 x 8192: below this, list prep outweighs
 
 
 def _use_cells(b: int, n: int, d: int) -> bool:
@@ -89,16 +91,14 @@ def _use_cells(b: int, n: int, d: int) -> bool:
         return True
     if mode != "auto":
         return False
-    # default flips to "1" once the on-chip A/B at production scale is in
-    # (scripts/bench_cells_ab.py; BASELINE.md round-4 section)
     return (d == 3 and jax.default_backend() in ("tpu", "axon")
             and b >= _PALLAS_MIN_B and b * n >= _CELLS_MIN_BN
-            and os.environ.get("GF_CELLS", "0") == "1")
+            and os.environ.get("GF_CELLS", "1") == "1")
 
 
 def _cells_tiles(d: int):
-    tb = int(os.environ.get("GF_CELLS_TB", "32"))
-    tn = int(os.environ.get("GF_CELLS_TN", "256"))
+    tb = int(os.environ.get("GF_CELLS_TB", "256"))
+    tn = int(os.environ.get("GF_CELLS_TN", "512"))
     return tb, tn
 
 
@@ -106,8 +106,10 @@ def _cells_cap(nbt: int, nnt: int) -> int:
     """Static work-list capacity: a density-fraction budget over the full
     tile grid plus the keep-alive floor. Too small is SAFE (the overflow
     flag falls back to the full masked sweep) but slow if chronic; too
-    big wastes dead grid steps. Tuned on-chip (scripts/bench_cells_ab.py)."""
-    frac = float(os.environ.get("GF_CELLS_CAP", "0.12"))
+    big wastes dead grid steps. At the coarse default tiling the observed
+    production density is ~0.13 (BASELINE.md), so 0.3 gives >2x headroom
+    for a few hundred wasted (cheap) steps."""
+    frac = float(os.environ.get("GF_CELLS_CAP", "0.3"))
     return int(frac * nbt * nnt) + max(nbt, nnt)
 
 
@@ -679,48 +681,70 @@ def _cells_lists(tmask: jnp.ndarray, cap: int):
     return rows, cols, gtiles, qtiles, okf & okb
 
 
-def _cells_fwd_dispatch(ok, tmask, rows, cols, x, muT, ppT, values, d,
+# Fallback tiling for the cells path's overflow branch. The centered
+# kernels scalar-prefetch the WHOLE tile mask into SMEM (1 MB budget): a
+# fine-tiling mask like (512, 500) i32 is 1.02 MB and fails Mosaic
+# compilation (measured 2026-08-21), so the fallback runs at the proven
+# coarse tiling with an OR-coarsened mask — conservative, hence exact.
+_CELLS_FALLBACK_TB = 256
+_CELLS_FALLBACK_TN = 512
+
+
+def _coarsen_mask(tmask: jnp.ndarray, kb: int, kn: int) -> jnp.ndarray:
+    """OR-pool a (R, C) tile mask by (kb, kn): a coarse pair interacts
+    iff any of its fine pairs does. Requires kb | R and kn | C."""
+    r, c = tmask.shape
+    m = tmask.astype(bool).reshape(r // kb, kb, c // kn, kn)
+    return jnp.any(m, axis=(1, 3)).astype(jnp.int32)
+
+
+def _cells_fwd_dispatch(ok, tmask_c, rows, cols, x, muT, ppT, values, d,
                         vdim, clamp, tb, tn, njac):
     from gaussian_fluids_tpu.ops.pallas import gsr_centered, gsr_cells
+    tbc = max(tb, _CELLS_FALLBACK_TB)
+    tnc = max(tn, _CELLS_FALLBACK_TN)
     return jax.lax.cond(
         ok,
         lambda: gsr_cells.fused_gsr_cells_fwd(
             rows, cols, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac),
         lambda: gsr_centered._fwd(
-            tmask, x, muT, ppT, values, d, vdim, clamp, tb, tn, njac))
+            tmask_c, x, muT, ppT, values, d, vdim, clamp, tbc, tnc, njac))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
-def _cells_core(ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT,
+def _cells_core(ok, tmask_c, rows, cols, gtiles, qtiles, x, muT, ppT,
                 values, d, vdim, clamp, tb, tn, njac):
     """(B, (1+njac)*vdim) field columns over the work list, differentiable
     in (muT, ppT, values) via the work-list dn kernel. x is a constant of
-    the loss (training epochs; need_dx callers use the centered path)."""
-    return _cells_fwd_dispatch(ok, tmask, rows, cols, x, muT, ppT, values,
-                               d, vdim, clamp, tb, tn, njac)
+    the loss (training epochs; need_dx callers use the centered path).
+    ``tmask_c`` is the coarse fallback mask (see _coarsen_mask)."""
+    return _cells_fwd_dispatch(ok, tmask_c, rows, cols, x, muT, ppT,
+                               values, d, vdim, clamp, tb, tn, njac)
 
 
-def _cells_core_fwd(ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT,
+def _cells_core_fwd(ok, tmask_c, rows, cols, gtiles, qtiles, x, muT, ppT,
                     values, d, vdim, clamp, tb, tn, njac):
-    out = _cells_fwd_dispatch(ok, tmask, rows, cols, x, muT, ppT, values,
-                              d, vdim, clamp, tb, tn, njac)
-    return out, (ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT,
+    out = _cells_fwd_dispatch(ok, tmask_c, rows, cols, x, muT, ppT,
+                              values, d, vdim, clamp, tb, tn, njac)
+    return out, (ok, tmask_c, rows, cols, gtiles, qtiles, x, muT, ppT,
                  values)
 
 
 def _cells_core_bwd(d, vdim, clamp, tb, tn, njac, res, dout):
     from gaussian_fluids_tpu.ops.pallas import gsr_centered, gsr_cells
-    ok, tmask, rows, cols, gtiles, qtiles, x, muT, ppT, values = res
+    ok, tmask_c, rows, cols, gtiles, qtiles, x, muT, ppT, values = res
+    tbc = max(tb, _CELLS_FALLBACK_TB)
+    tnc = max(tn, _CELLS_FALLBACK_TN)
     dmuT, dppT, dv = jax.lax.cond(
         ok,
         lambda: gsr_cells.fused_gsr_cells_bwd1(
             gtiles, qtiles, x, muT, ppT, values, dout, d, vdim, clamp,
             tb, tn, njac=njac, use_val=True),
         lambda: tuple(gsr_centered._bwd(
-            tmask, x, muT, ppT, values, dout, d, vdim, clamp, tb, tn,
+            tmask_c, x, muT, ppT, values, dout, d, vdim, clamp, tbc, tnc,
             njac, need_dx=False)[1:]))
     z = jnp.zeros_like
-    return (z(ok), z(tmask), z(rows), z(cols), z(gtiles), z(qtiles),
+    return (z(ok), z(tmask_c), z(rows), z(cols), z(gtiles), z(qtiles),
             z(x), dmuT, dppT, dv)
 
 
@@ -729,16 +753,38 @@ _cells_core.defvjp(_cells_core_fwd, _cells_core_bwd)
 
 def _cells_prep(mix: GaussianMixture, spec: FieldSpec, x: jnp.ndarray,
                 tb: int, tn: int):
-    """(x_p, b, tmask, work lists, ok) for the cells path. ``x`` must be
-    presorted by ops.spatial.sort_key (the 3D solver sorts each batch)."""
+    """(x_p, b, tmask_c, work lists, ok) for the cells path. ``x`` must be
+    presorted by ops.spatial.sort_key (the 3D solver sorts each batch).
+
+    Queries are padded to the COARSE fallback block (so the overflow
+    branch can run at the proven 256x512 tiling); Gaussian rows are
+    already 512-bucket padded (models/mixture.py PAD_BUCKET), so tn and
+    the coarse tn both divide the capacity."""
+    if x.ndim != 2 or x.shape[1] != mix.d:
+        raise ValueError(
+            f"query points must have shape (B, {mix.d}); got {x.shape}")
+    tbc = max(tb, _CELLS_FALLBACK_TB)
+    tnc = max(tn, _CELLS_FALLBACK_TN)
     mix_sg = GaussianMixture(*[jax.lax.stop_gradient(a) for a in
                                (mix.positions, mix.scalings,
                                 mix.rotations, mix.values)], mix.alive)
-    x_p, b, _, _, _, _, tmask = _centered_prep(mix_sg, spec, x, tb, tn,
-                                               presorted=True)
+    b = x.shape[0]
+    dead = ~in_domain_mask(mix_sg, spec)
+    x_p = _pad_axis(jax.lax.stop_gradient(x), tbc, axis=0)
+    bp = x_p.shape[0]
+    mu_p, _, _ = _padded_param_rows(mix_sg, spec, tn)
+    if mu_p.shape[0] % tnc:
+        raise ValueError(
+            f"Gaussian rows ({mu_p.shape[0]}) must divide the coarse "
+            f"fallback tile {tnc}; capacity should be 512-bucket padded")
+    valid_b = jnp.arange(bp) < b
+    dead_n = _pad_axis(dead.astype(jnp.float32), tn, axis=0, fill=1.0) > 0.5
+    s_p = _pad_axis(mix_sg.scalings, tn, axis=0)
+    tmask = _tile_mask(x_p, valid_b, mu_p, dead_n, s_p, spec, tb, tn)
+    tmask_c = _coarsen_mask(tmask, tbc // tb, tnc // tn)
     cap = _cells_cap(*tmask.shape)
     rows, cols, gtiles, qtiles, ok = _cells_lists(tmask, cap)
-    return x_p, b, tmask, rows, cols, gtiles, qtiles, ok
+    return x_p, b, tmask_c, rows, cols, gtiles, qtiles, ok
 
 
 def _cells_value_jac(mix: GaussianMixture, spec: FieldSpec,
@@ -780,8 +826,10 @@ def two_head_grads_cells(params, alive, spec: FieldSpec, x: jnp.ndarray,
     clamp = float(spec.clamp_threshold)
     mix = GaussianMixture(params["positions"], params["scalings"],
                           params["rotations"], params["values"], alive)
-    x_p, _, tmask, rows, cols, gtiles, qtiles, ok = _cells_prep(
+    x_p, _, tmask_c, rows, cols, gtiles, qtiles, ok = _cells_prep(
         mix, spec, x, tb, tn)
+    tbc = max(tb, _CELLS_FALLBACK_TB)
+    tnc = max(tn, _CELLS_FALLBACK_TN)
 
     def prep(p):
         m = GaussianMixture(p["positions"], p["scalings"],
@@ -790,7 +838,7 @@ def two_head_grads_cells(params, alive, spec: FieldSpec, x: jnp.ndarray,
         return mu_p.T, pp_p.T, v_p
 
     (muT, ppT, v_p), prep_vjp = jax.vjp(prep, params)
-    out = _cells_fwd_dispatch(ok, tmask, rows, cols, x_p, muT, ppT, v_p,
+    out = _cells_fwd_dispatch(ok, tmask_c, rows, cols, x_p, muT, ppT, v_p,
                               d, vdim, clamp, tb, tn, d)[:b]
 
     def head_on_out(head, o):
@@ -801,16 +849,18 @@ def two_head_grads_cells(params, alive, spec: FieldSpec, x: jnp.ndarray,
     one = jnp.ones(())
     l1, h1_vjp = jax.vjp(functools.partial(head_on_out, head1), out)
     l2, h2_vjp = jax.vjp(functools.partial(head_on_out, head2), out)
-    dout1 = _pad_axis(h1_vjp(one)[0], tb, axis=0)
-    dout2 = _pad_axis(h2_vjp(one)[0], tb, axis=0)
+    # pad to the COARSE block (x_p's padding) — a tbc multiple is also a
+    # tb multiple, so both cond branches see aligned shapes
+    dout1 = _pad_axis(h1_vjp(one)[0], tbc, axis=0)
+    dout2 = _pad_axis(h2_vjp(one)[0], tbc, axis=0)
     t1, t2 = jax.lax.cond(
         ok,
         lambda: gsr_cells.fused_gsr_cells_bwd2(
             gtiles, qtiles, x_p, muT, ppT, v_p, dout1, dout2, d, vdim,
             clamp, tb, tn, use_val=heads_use_val),
         lambda: gsr_centered.fused_gsr_centered_bwd2(
-            tmask, x_p, muT, ppT, v_p, dout1, dout2, d, vdim, clamp, tb,
-            tn, use_val=heads_use_val))
+            tmask_c, x_p, muT, ppT, v_p, dout1, dout2, d, vdim, clamp,
+            tbc, tnc, use_val=heads_use_val))
     g1 = prep_vjp(t1)[0]
     g2 = prep_vjp(t2)[0]
     return (l1, l2), (g1, g2)

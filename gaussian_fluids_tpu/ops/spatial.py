@@ -72,11 +72,23 @@ def morton_key(x: jnp.ndarray, lo, hi) -> jnp.ndarray:
 
 
 def sort_key(x: jnp.ndarray, lo, hi) -> jnp.ndarray:
-    """The canonical spatial sort key for tiled-kernel inputs: Morton in
-    3D (cubes cull all three axes), raw coordinate 0 in 2D (thin x-slabs
-    are already optimal there, and the banded density machinery depends
-    on x-monotone tiles)."""
-    if x.shape[-1] == 3:
+    """The canonical spatial sort key for tiled-kernel inputs: raw
+    coordinate 0 in every dimension.
+
+    MEASURED NEGATIVE (round 4, ring_collide frame-20 checkpoint, one
+    v5e chip): Morton keys in 3D only pay at FINE tiles (35M pairs at
+    8x128 vs ~70M for x-sorted 256x512), but fine-tile work-list kernels
+    cost 0.4-1 us of fixed overhead per (8-16, 128) grid step — fwd
+    11-16 ms / dual-backward 25-39 ms versus 3.5 / 7.6 ms for the
+    coarse masked sweep. At coarse tiles Morton is strictly WORSE than
+    x-slabs (density 0.37 vs 0.13 at 256x512: octant-straddling runs +
+    the support dilation dominate the Minkowski sum). The production
+    sort is therefore x everywhere; the win that survived is work-list
+    compaction of the COARSE mask (ops/field.py cells backend, zero
+    skipped steps: fwd 2.1 ms, dual-backward 5.7 ms). `morton_key`
+    stays for experiments (GF_SPATIAL_KEY=morton)."""
+    import os
+    if x.shape[-1] == 3 and os.environ.get("GF_SPATIAL_KEY") == "morton":
         return morton_key(x, lo, hi)
     return x[..., 0]
 
