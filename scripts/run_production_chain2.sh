@@ -102,22 +102,21 @@ PY
 need rc_advance.done rc_density && \
   dns rc_density output_3d_ring_collide python advance_density3d.py --init_cond ring_collide --dir output_3d_ring_collide --dt .1
 
+# ring_with_obstacle FIRST (VERDICT r3 item 2 priority: the only
+# production exercise of the mesh-surface boundary sampler,
+# 3D/init_cond.py:85,260-265), then single_vortex_ring, then the
+# remaining 2D configs (taylor_vortex resumes from its checkpoints).
+run rwo_init    python initialize3d.py --init_cond ring_with_obstacle --dir output_3d_rwo
+need rwo_init.done rwo_advance && \
+  adv rwo_advance output_3d_rwo .1 2 python advance3d.py --init_cond ring_with_obstacle --dir output_3d_rwo --dt .1
+run svr_init    python initialize3d.py --init_cond single_vortex_ring --dir output_3d_svr
+need svr_init.done svr_advance && \
+  adv svr_advance output_3d_svr .1 2 python advance3d.py --init_cond single_vortex_ring --dir output_3d_svr --dt .1
+
 # taylor_vortex 2D: dt=.01, t=4 -> 400 frames (reference README.md:71)
 run tv_init    python initialize2d.py --init_cond taylor_vortex --dir output_tv
 need tv_init.done tv_advance && \
   adv tv_advance output_tv .01 4 python advance2d.py --init_cond taylor_vortex --dir output_tv --dt .01
-
-# the other two N=64,000 3D scenes (reference 3D/init_cond.py:23-24) —
-# promoted ahead of the vortices_pass variants: production-scale 3D
-# coverage (and the mesh-obstacle boundary in ring_with_obstacle) is the
-# higher-value evidence (VERDICT round-1 missing #1 calls these "the big
-# one"); the 2D variants resume automatically next round.
-run svr_init    python initialize3d.py --init_cond single_vortex_ring --dir output_3d_svr
-need svr_init.done svr_advance && \
-  adv svr_advance output_3d_svr .1 2 python advance3d.py --init_cond single_vortex_ring --dir output_3d_svr --dt .1
-run rwo_init    python initialize3d.py --init_cond ring_with_obstacle --dir output_3d_rwo
-need rwo_init.done rwo_advance && \
-  adv rwo_advance output_3d_rwo .1 2 python advance3d.py --init_cond ring_with_obstacle --dir output_3d_rwo --dt .1
 
 # vortices_pass 2D: dt=.01, t=5 -> 500 frames (reference README.md:78)
 run vp_init    python initialize2d.py --init_cond vortices_pass --dir output_vp
