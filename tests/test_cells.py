@@ -255,3 +255,33 @@ def test_morton_spatially_sorted_is_invariant():
                                atol=1e-6)
     alive = np.asarray(ms.alive)
     assert not alive[np.argmin(alive):].any()
+
+
+def test_coarsen_mask_is_conservative():
+    """OR-pooling: a coarse pair is live iff any of its fine pairs is —
+    the exactness condition for the SMEM-safe fallback tiling."""
+    r = np.random.RandomState(21)
+    fine = jnp.asarray(r.rand(32, 24) < 0.15)
+    coarse = field._coarsen_mask(fine, 8, 4)
+    assert coarse.shape == (4, 6)
+    f = np.asarray(fine).reshape(4, 8, 6, 4)
+    np.testing.assert_array_equal(np.asarray(coarse).astype(bool),
+                                  f.any(axis=(1, 3)))
+
+
+def test_cells_value_jac_coarse_default_tiles(cells_env, monkeypatch):
+    """The production default tiling (256x512): queries pad to the coarse
+    block, the mixture's 512-bucket capacity divides the fallback tile,
+    and results still match the dense oracle on a non-multiple batch."""
+    monkeypatch.setenv("GF_CELLS_TB", "256")
+    monkeypatch.setenv("GF_CELLS_TN", "512")
+    mix, spec = _mix3(seed=31, n=700)
+    r = np.random.RandomState(32)
+    x = _sorted_queries(r, 300)     # 300 % 256 != 0
+    vd, jd = field.value_and_jac_dense(mix, spec, x)
+    vc, jc = field.value_and_jac(mix, spec, x, presorted=True,
+                                 need_dx=False)
+    np.testing.assert_allclose(np.asarray(vc), np.asarray(vd), rtol=2e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jc), np.asarray(jd), rtol=1e-3,
+                               atol=2e-3)
