@@ -100,12 +100,15 @@ def sort_queries(x: jnp.ndarray, lo, hi) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def sort_key_np(x) -> "np.ndarray":
-    """Host-side (numpy) canonical sort key: Morton in 3D with bounds
-    taken from the data, coordinate 0 otherwise. For host-side rebuilds
-    (clone splitting) where a device round-trip is not worth it."""
+    """Host-side (numpy) twin of :func:`sort_key` — MUST agree with it
+    (the clone split rebuild sorts through this; a mismatched key would
+    leave post-split mixtures ordered differently from the runtime sort
+    and silently loosen the tile masks). Coordinate 0 by default; Morton
+    in 3D only under GF_SPATIAL_KEY=morton."""
+    import os
     import numpy as np
     x = np.asarray(x)
-    if x.shape[-1] != 3:
+    if x.shape[-1] != 3 or os.environ.get("GF_SPATIAL_KEY") != "morton":
         return x[..., 0]
     lo = x.min(axis=0)
     hi = x.max(axis=0)

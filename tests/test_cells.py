@@ -64,7 +64,8 @@ def test_morton_sorted_runs_are_compact():
     assert mean_dilated_vol(xm) < 0.5 * mean_dilated_vol(xx)
 
 
-def test_sort_key_np_matches_device_ordering():
+def test_sort_key_np_matches_device_ordering(monkeypatch):
+    monkeypatch.setenv("GF_SPATIAL_KEY", "morton")  # the opt-in 3D key
     r = np.random.RandomState(1)
     x = r.uniform(-2, 3, (257, 3)).astype(np.float32)
     k_np = spatial.sort_key_np(x)
