@@ -69,8 +69,11 @@ def _use_pallas(b: int, n: int) -> bool:
 
 def _use_sparse(b: int, n: int, d: int) -> bool:
     """Cell-list COO backend (ops/sparse.py): opt-in via
-    GF_FIELD_BACKEND=sparse. Not yet in the auto ladder — flips on when
-    the TPU A/B at 3D production scale lands (BASELINE.md)."""
+    GF_FIELD_BACKEND=sparse only. Permanently outside the auto ladder:
+    compile cost disqualified it on the chip (r3) and the round-4
+    experiments settled the production answer on the work-list cells
+    backend (BASELINE.md); it remains the exact reference-culling
+    oracle on CPU."""
     return os.environ.get(_BACKEND_ENV, "auto") == "sparse"
 
 
