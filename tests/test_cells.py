@@ -286,3 +286,23 @@ def test_cells_value_jac_coarse_default_tiles(cells_env, monkeypatch):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(jc), np.asarray(jd), rtol=1e-3,
                                atol=2e-3)
+
+
+def test_cells_full_projection_epoch_runs(cells_env, monkeypatch):
+    """The production seam: a full 3D projection (hoisted targets +
+    two-head cells kernels + boundary value head through the cells VJP +
+    PCGrad + Adam) must trace and run with the cells backend forced, and
+    keep the field finite."""
+    monkeypatch.setenv("GF_CELLS_CAP", "0.9")
+    from gaussian_fluids_tpu.solver.project import project_3d
+    mix, spec = _mix3(seed=41, n=400)
+    r = np.random.RandomState(42)
+    g = np.linspace(0.1, 0.9, 4, dtype=np.float32)
+    test_x = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    out = project_3d(mix, spec, mix, 0.01, domain=(0, 1, 0, 1, 0, 1),
+                     test_x=test_x, key=jax.random.PRNGKey(7),
+                     scene_name="ring_collide", batch_size=64,
+                     max_epoch=4, check_iter=2, verbose=0)
+    new_mix = out[0] if isinstance(out, tuple) else out
+    assert bool(jnp.all(jnp.isfinite(new_mix.positions)))
+    assert bool(jnp.all(jnp.isfinite(new_mix.values)))
