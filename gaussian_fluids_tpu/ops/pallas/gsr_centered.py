@@ -177,6 +177,21 @@ def _bwd_dx_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
         dx_ref[:] = acc_ref[:]
 
 
+def _row_sum(t):
+    """(1, TN) <- sum over sublanes of a (TB, TN) plane.
+
+    GF_DN_MXU_REDUCE=1 maps it to a ones-vector matmul: the dn sweeps do
+    10 of these per cotangent per grid step (20 in the dual kernel) and
+    the VPU is the binding unit (BASELINE.md roofline) — a (1, TB) @
+    (TB, TN) contraction moves the whole reduction onto the idle MXU.
+    Off by default until the on-chip A/B lands."""
+    import os
+    if os.environ.get("GF_DN_MXU_REDUCE", "0") == "1":
+        ones = jnp.ones((1, t.shape[0]), jnp.float32)
+        return _DOT(ones, t, (((1,), (0,)), ((), ())))
+    return jnp.sum(t, axis=0, keepdims=True)
+
+
 def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
                    dmp_acc, dv_acc, use_val=True):
     """Accumulate (dmu, dPp, dv) for one cotangent block into the scratch
@@ -210,7 +225,7 @@ def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
     # dmu_j = -(dL/dx_j summed over the tile's queries), per n
     for jdim in range(d):
         t = _dxj_tile(gquad, gpd, pd, ppT, d, jdim)
-        dmp_acc[jdim:jdim + 1, :] += -jnp.sum(t, axis=0, keepdims=True)
+        dmp_acc[jdim:jdim + 1, :] += -_row_sum(t)
 
     # dPp: diagonal d(quad)/dP_ii = delta_i^2, d(Pd_i)/dP_ii = delta_i;
     # off-diag (i<j): d(quad)/dP_ij = 2 delta_i delta_j,
@@ -219,17 +234,16 @@ def _dn_accumulate(delta, g, m, pd, ppT, dout, v, d, vdim, clamp, njac,
         t = gquad * delta[k] * delta[k]
         if k < njac:
             t += gpd[k] * delta[k]
-        dmp_acc[d + k:d + k + 1, :] += jnp.sum(t, axis=0, keepdims=True)
+        dmp_acc[d + k:d + k + 1, :] += _row_sum(t)
     for c, (ii, jj) in enumerate(_off_pairs(d)):
         t = 2.0 * gquad * delta[ii] * delta[jj]
         if ii < njac:
             t += gpd[ii] * delta[jj]
         if jj < njac:
             t += gpd[jj] * delta[ii]
-        dmp_acc[2 * d + c:2 * d + c + 1, :] += jnp.sum(t, axis=0,
-                                                       keepdims=True)
+        dmp_acc[2 * d + c:2 * d + c + 1, :] += _row_sum(t)
     nb = d * (d + 1) // 2
-    dmp_acc[d + nb:d + nb + 1, :] += jnp.sum(gquad, axis=0, keepdims=True)
+    dmp_acc[d + nb:d + nb + 1, :] += _row_sum(gquad)
 
 
 def _bwd_dn_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, dout_ref,
