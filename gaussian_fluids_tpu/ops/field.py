@@ -666,12 +666,13 @@ def two_head_grads(params, alive, spec: FieldSpec, x: jnp.ndarray,
     return (l1, l2), (g1, g2)
 
 
-# ---- work-list (cell-culled) Pallas backend ----
+# ---- work-list (cells) Pallas backend ----
 #
-# Morton-sorted queries + Morton-sorted mixture rows (models/mixture.py
-# spatially_sorted) make fine tiles spatially compact cubes in 3D; the
-# exact bbox tile mask is compacted into flat live-pair work lists
-# (ops/spatial.flat_work_list) and the gsr_cells kernels walk only those.
+# The exact bbox tile mask at the production coarse tiling is compacted
+# into flat live-pair work lists (ops/spatial.flat_work_list) and the
+# gsr_cells kernels walk only those — a masked sweep with zero skipped
+# grid steps (the measured winner; fine/Morton tilings are recorded
+# negatives — see ops/spatial.sort_key and BASELINE.md round 4).
 # Overflowing the static list capacity falls back to the full masked
 # sweep via lax.cond — exactness can never depend on the capacity.
 
