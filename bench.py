@@ -85,6 +85,15 @@ def _preempt_chain():
         # (exactly how a stray TPU client once survived a preemption)
         kids = subprocess.run(["ps", "-o", "pid=", "--ppid", str(pid)],
                               capture_output=True, text=True).stdout.split()
+        # Chains are launched as session leaders (start_new_session /
+        # setsid), so a process-group TERM takes the whole tree atomically
+        # — including children already reparented to init, which the
+        # snapshot above cannot see (ADVICE r4). The per-pid path below
+        # remains as fallback for a pre-setsid chain.
+        try:
+            os.killpg(pid, signal.SIGTERM)
+        except OSError:
+            pass
         try:
             os.kill(pid, signal.SIGTERM)  # parent first: no respawn race
         except OSError:

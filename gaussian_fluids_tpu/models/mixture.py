@@ -16,6 +16,7 @@ every field evaluation and loss.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict
 
 import jax
@@ -25,11 +26,26 @@ import numpy as np
 from gaussian_fluids_tpu.config import FieldSpec
 from gaussian_fluids_tpu.ops.rotations import precision_matrix, rotation_matrix
 
-PAD_BUCKET = 512  # pad N up to a multiple of this to stabilise jit shapes
+PAD_BUCKET = 512  # capacities are multiples of this (Pallas tile divisors)
+
+# Capacity ladder growth factor. Splitting adds O(100) Gaussians per frame
+# (reference 2D/advance.py:68-84); with arithmetic 512-buckets a production
+# run crosses a bucket every few frames and every jitted phase recompiles
+# (~2 minutes of wall-clock on the tunneled TPU runtime — measured 23-45 s
+# frames spiking to ~128 s on taylor_vortex). Growing capacity
+# geometrically (~25% headroom per crossing) makes the number of
+# recompiles over a run O(log N) instead of O(N / 512). Dead padding rows
+# are parked in a corner cell and culled by the tile mask, so headroom
+# costs almost no compute. GF_PAD_GROWTH=1 restores arithmetic buckets.
+_PAD_GROWTH = float(os.environ.get("GF_PAD_GROWTH", "1.25"))
 
 
 def _bucket(n: int, bucket: int = PAD_BUCKET) -> int:
-    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+    cap = bucket
+    while cap < n:
+        step = max(cap * (_PAD_GROWTH - 1.0), bucket)
+        cap = ((cap + int(step) + bucket - 1) // bucket) * bucket
+    return cap
 
 
 @jax.tree_util.register_dataclass

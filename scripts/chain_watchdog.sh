@@ -44,41 +44,23 @@ while true; do
 
   echo "[watchdog] chain stalled ${age}s (pid $pid) — restarting" \
     | tee -a "$LOGDIR/chain.log"
-  # Enumerate descendants RECURSIVELY, and re-snapshot after TERM: a
-  # child spawned between the snapshot and the kill (the chain advancing
-  # to its next config), or any grandchild, would otherwise be orphaned
-  # holding the TPU while the relaunched chain contends for it.
-  descendants() {
-    local q="$1" out="" kids k
-    while [ -n "$q" ]; do
-      kids=""
-      for k in $q; do
-        kids="$kids $(ps -o pid= --ppid "$k" 2>/dev/null)"
-      done
-      kids=$(echo $kids)
-      out="$out $kids"
-      q=$kids
-    done
-    echo $out
-  }
-  kids=$(descendants "$pid")
-  kill -TERM "$pid" 2>/dev/null
-  for k in $kids; do kill -TERM "$k" 2>/dev/null; done
-  # anything that appeared between the snapshot and the TERM
-  kids="$kids $(descendants "$pid")"
-  for k in $kids; do kill -TERM "$k" 2>/dev/null; done
+  # The chain runs in its own process group (setsid at launch, below), so
+  # killing the NEGATIVE pid takes the whole tree atomically — including
+  # children reparented to init after the parent died, which a
+  # descendant-walk snapshot would miss (those escapees are the likely
+  # cause of the 2026-08-21 08:06-08:26 tv_advance thrash: 8 attempts
+  # died at startup with no output while something still held the TPU).
+  # Fallback to the pid itself for a chain launched pre-setsid.
+  kill -TERM -- "-$pid" 2>/dev/null || kill -TERM "$pid" 2>/dev/null
   for i in $(seq 1 45); do
-    alive=0
-    for k in $pid $kids; do [ -d "/proc/$k" ] && alive=1; done
-    [ "$alive" = 0 ] && break
+    # a process group with any member alive answers signal 0
+    kill -0 -- "-$pid" 2>/dev/null || break
     sleep 2
   done
-  for k in $pid $kids; do
-    [ -d "/proc/$k" ] && kill -9 "$k" 2>/dev/null
-  done
+  kill -9 -- "-$pid" 2>/dev/null
   # give the tunnel a moment to drop the dead client's device hold
   sleep 60
-  nohup bash scripts/run_production_chain2.sh >> runs_r2_nohup.log 2>&1 &
+  setsid nohup bash scripts/run_production_chain2.sh >> runs_r2_nohup.log 2>&1 &
   echo $! > /tmp/chain.pid
   echo "[watchdog] chain relaunched (pid $(cat /tmp/chain.pid))" \
     | tee -a "$LOGDIR/chain.log"

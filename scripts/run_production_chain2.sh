@@ -31,11 +31,27 @@ run() {
   name=$1; shift
   if [ -e "$LOGDIR/$name.done" ]; then echo "skip $name (done)"; return; fi
   echo "=== $name: $* ($(date -u +%H:%M:%S))" | tee -a "$LOGDIR/chain.log"
+  pre=$(wc -l < "$LOGDIR/$name.log" 2>/dev/null || echo 0)
   if "$@" >>"$LOGDIR/$name.log" 2>&1; then
     touch "$LOGDIR/$name.done"
     echo "=== $name DONE ($(date -u +%H:%M:%S))" | tee -a "$LOGDIR/chain.log"
   else
-    echo "=== $name FAILED rc=$? ($(date -u +%H:%M:%S))" | tee -a "$LOGDIR/chain.log"
+    rc=$?
+    # Exit-cause trail (round-5): a crash loop must be diagnosable from
+    # chain.log alone — record rc (128+N = killed by signal N) and the
+    # lines THIS attempt appended to its log (tracebacks land there; an
+    # attempt that appended nothing died before producing output, i.e.
+    # at startup — typically device acquisition).
+    echo "=== $name FAILED rc=$rc ($(date -u +%H:%M:%S))" \
+      | tee -a "$LOGDIR/chain.log"
+    post=$(wc -l < "$LOGDIR/$name.log" 2>/dev/null || echo 0)
+    if [ "$post" -gt "$pre" ]; then
+      tail -n "$((post - pre))" "$LOGDIR/$name.log" | tail -5 \
+        | sed "s/^/    [$name tail] /" >> "$LOGDIR/chain.log"
+    else
+      echo "    [$name tail] (attempt appended no output — died at startup)" \
+        >> "$LOGDIR/chain.log"
+    fi
   fi
 }
 
