@@ -30,7 +30,9 @@ N_SIDE = 71
 BATCH = 512
 EPOCHS_TIMED = 1000
 BATCH_3D = 8192
-EPOCHS_3D = 200
+# >= 600 timed epochs so the 3D number is comparable round-over-round
+# (VERDICT r4 weak #5: a 200-epoch / ~4 s window was too thin).
+EPOCHS_3D = 600
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_BASELINE.json")
 
@@ -217,9 +219,15 @@ def build_state_3d():
                                                     _runner_3d,
                                                     DEFAULT_LRS_3D)
 
+    # PIN the measured geometry (VERDICT r4 weak #5): always the final
+    # production frame when the completed run is present — the bench must
+    # not drift with whatever checkpoint happens to be newest on disk.
+    pin = "output_3d_ring_collide/gaussian_velocity_20.pt"
     cks = sorted(glob.glob(
         "output_3d_ring_collide/gaussian_velocity_*.pt"),
         key=lambda f: int(re.findall(r"(\d+)", f)[-1]))
+    if os.path.exists(pin):
+        cks = [pin]
     if cks:
         mix, spec = checkpoint.load_checkpoint(cks[-1])
         src = os.path.basename(cks[-1])
@@ -274,7 +282,9 @@ def measure_ours_3d():
     visited, contrib, bnd = roofline.measured_pair_stats_3d(
         mix, spec, x, xb)
     ref_lo, ref_hi = roofline.reference_gpu_bound_3d(contrib, bnd, visited)
-    return eps, (ref_lo, ref_hi), (visited, contrib, bnd), src
+    n_alive = int(np.asarray(mix.n_alive()))
+    return eps, (ref_lo, ref_hi), (visited, contrib, bnd), src, \
+        n_alive, mix.capacity
 
 
 def measure_baseline_surrogate():
@@ -329,6 +339,108 @@ def measure_baseline_surrogate():
     return rate
 
 
+def measure_baseline_surrogate_3d(n_alive):
+    """Reference dense-autograd 3D epoch (torch CPU), conservative subset.
+
+    The 3D twin of measure_baseline_surrogate (VERDICT r4 missing #2): the
+    reference's own oracle path — dense quaternion->R covariances, (B, N)
+    pair sums for value + 3x3 Jacobian (reference 3D/GSR.py:118-130), the
+    vor-L1 + helicity + div^2 losses of the projection epoch (reference
+    3D/advance.py:230-240) — autograd backward + 4-group Adam. OMITTED
+    from the baseline's cost (all make the real reference epoch slower,
+    so the ratio is conservative): the RK4 covector vorticity targets,
+    PCGrad projection, the boundary batch, aniso/vol terms.
+
+    Timed at a small batch and linearly scaled to BATCH_3D — per-pair work
+    dominates, and dropping the fixed overhead again only flatters the
+    baseline. Cached in BENCH_BASELINE.json keyed by n_alive.
+    """
+    data = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as fd:
+            data = json.load(fd)
+    if data.get("n_3d") == n_alive and "baseline_epochs_per_sec_3d" in data:
+        return data["baseline_epochs_per_sec_3d"]
+    import torch
+    torch.manual_seed(0)
+    n = int(n_alive)
+    positions = torch.rand(n, 3).requires_grad_()
+    scalings = torch.full((n, 3), 3.6).requires_grad_()
+    quats = torch.zeros(n, 4)
+    quats[:, 0] = 1.0
+    quats = quats.requires_grad_()
+    values = (0.1 * torch.randn(n, 3)).requires_grad_()
+    opts = [torch.optim.Adam([p], lr=1e-4)
+            for p in (positions, scalings, quats, values)]
+    b = 128  # timed batch; scaled to BATCH_3D below
+
+    def epoch():
+        x = torch.rand(b, 3)
+        ref_vor = torch.randn(b, 3)
+        ref_hel = torch.randn(b)
+        q = quats / quats.norm(dim=-1, keepdim=True)
+        r, i, j, k = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        R = torch.stack([
+            1 - 2 * (j * j + k * k), 2 * (i * j - r * k), 2 * (i * k + r * j),
+            2 * (i * j + r * k), 1 - 2 * (i * i + k * k), 2 * (j * k - r * i),
+            2 * (i * k - r * j), 2 * (j * k + r * i), 1 - 2 * (i * i + j * j),
+        ], -1).reshape(n, 3, 3)
+        S = torch.diag_embed(torch.exp(scalings))
+        A = R @ S
+        prec = A @ A.transpose(-1, -2)
+        delta = x[:, None, :] - positions[None, :, :]
+        pd = torch.einsum("nij,bnj->bni", prec, delta)
+        g = torch.exp(-0.5 * (delta * pd).sum(-1))
+        val = torch.einsum("bn,nd->bd", g, values)
+        jac = -torch.einsum("bn,nd,bnk->bdk", g, values, pd)
+        vor = torch.stack([jac[:, 2, 1] - jac[:, 1, 2],
+                           jac[:, 0, 2] - jac[:, 2, 0],
+                           jac[:, 1, 0] - jac[:, 0, 1]], -1)
+        loss = torch.abs(vor - ref_vor).mean() \
+            + torch.abs((val * vor).sum(-1) - ref_hel).mean() \
+            + ((jac[:, 0, 0] + jac[:, 1, 1] + jac[:, 2, 2]) ** 2).mean()
+        for o in opts:
+            o.zero_grad()
+        loss.backward()
+        for o in opts:
+            o.step()
+
+    epoch()  # warmup
+    t0 = time.perf_counter()
+    n_ep = 3
+    for _ in range(n_ep):
+        epoch()
+    rate = n_ep / (time.perf_counter() - t0) * (b / BATCH_3D)
+    data.update({
+        "baseline_epochs_per_sec_3d": rate, "n_3d": n,
+        "note_3d": "reference dense-autograd 3D epoch, torch CPU "
+                   f"surrogate at batch {b} linearly scaled to "
+                   f"{BATCH_3D} (taichi/CUDA unavailable); RK4 targets, "
+                   "PCGrad, boundary batch, aniso/vol omitted "
+                   "(conservative)"})
+    with open(CACHE, "w") as fd:
+        json.dump(data, fd)
+    return rate
+
+
+def epochs_per_frame_3d(log_path="runs_r2/rc_advance.log"):
+    """Median projection epochs-to-converge per production frame, from the
+    completed ring_collide run's logs (the patience stop makes this the
+    production epoch count — STATUS_R4's proposed per-frame metric)."""
+    import re
+    try:
+        with open(log_path) as fd:
+            text = fd.read()
+    except OSError:
+        return None
+    counts = [int(m.group(1)) for m in
+              re.finditer(r"\[projection\] Total epoch: (\d+)", text)]
+    if not counts:
+        return None
+    counts.sort()
+    return counts[len(counts) // 2]
+
+
 def main():
     _preempt_chain()
     try:
@@ -367,7 +479,7 @@ def _main_measure():
         "tile_density": round(density, 3),
     }
     try:
-        eps3, (r3_lo, r3_hi), pairs3, src3 = measure_ours_3d()
+        eps3, (r3_lo, r3_hi), pairs3, src3, n3, cap3 = measure_ours_3d()
         # ours vs the GENEROUS end of the 3D atomics+launch bound
         # (utils/roofline.py reference_gpu_bound_3d) — the honest
         # 3D-scale answer VERDICT r2 item 3 asked for.
@@ -381,6 +493,25 @@ def _main_measure():
             f"{r3_hi:.0f}] eps on {src3} "
             f"(visited {pairs3[0]:.3g}, contributing {pairs3[1]:.3g} "
             "pairs/epoch)")
+        # self-describing measurement state (VERDICT r4 weak #5): the
+        # pinned checkpoint, its geometry, and the timed window
+        out["bench_3d_state"] = {
+            "checkpoint": src3, "alive_n": n3, "capacity": cap3,
+            "epochs_timed": EPOCHS_3D,
+            "visited_pair_frac": round(pairs3[0] / (BATCH_3D * cap3), 4)}
+        # MEASURED CPU-surrogate anchor (VERDICT r4 missing #2)
+        sur3 = measure_baseline_surrogate_3d(n3)
+        out["vs_cpu_surrogate_3d"] = round(eps3 / sur3, 2)
+        # per-frame metric: production epochs-to-converge x epoch rate
+        # (same epoch count divided by the modeled reference bound gives
+        # the reference's per-frame range — projection slice only, both
+        # sides, so the comparison is like-for-like)
+        epf = epochs_per_frame_3d()
+        if epf:
+            out["epochs_per_frame_3d"] = epf
+            out["frame_seconds_3d"] = round(epf / eps3, 2)
+            out["ref_frame_seconds_3d_range"] = [
+                round(epf / r3_hi, 2), round(epf / r3_lo, 2)]
     except Exception as e:  # keep the 2D headline even if 3D fails
         out["bench_3d_error"] = repr(e)
     print(json.dumps(out))
