@@ -250,6 +250,64 @@ def dryrun(n_devices: int, batch: int = 64, n_gaussians: int = 128) -> None:
     print(f"[parallel.dryrun] sharded density step mean={dens.mean():.6f} "
           f"OK")
 
+    # and the 2-frame FRAME LOOP (clone with a forced split -> repad ->
+    # advect -> project -> save; reference 2D/advance.py:354-363) through
+    # the CLI path under the mesh, asserted against the single-device run
+    # — the split/repad-under-sharding seam the per-phase epochs above
+    # don't cross (VERDICT r4 weak #6).
+    import os
+    import shutil
+    import tempfile
+
+    from gaussian_fluids_tpu.io import checkpoint as _ckpt
+    from gaussian_fluids_tpu.ops import field as _field
+    from gaussian_fluids_tpu.solver.simulate2d import (advance_2d,
+                                                       initialize_2d)
+    with tempfile.TemporaryDirectory() as td:
+        base = os.path.join(td, "single")
+        shard = os.path.join(td, "sharded")
+        os.makedirs(base)
+        os.makedirs(shard)
+        initialize_2d("taylor_green", base, max_epoch=80, viz=False,
+                      particle_count=(8, 8), verbose=0)
+        # force a split: make a few rows' anisotropy ratio exceed the 1.5
+        # splitting threshold (solver/clone.py split_gaussians_2d) so
+        # frame 1's clone MUST grow N and repad under sharding
+        m0, spec0 = _ckpt.load_checkpoint(
+            os.path.join(base, "gaussian_velocity_0.pt"))
+        sca = np.array(m0.scalings)
+        sca[:8, 0] += np.log(2.0)
+        m0 = GaussianMixture(m0.positions, jnp.asarray(sca), m0.rotations,
+                             m0.values, m0.alive)
+        _ckpt.save_checkpoint(
+            os.path.join(base, "gaussian_velocity_0.pt"), m0, spec0)
+        shutil.copy(os.path.join(base, "gaussian_velocity_0.pt"),
+                    os.path.join(shard, "gaussian_velocity_0.pt"))
+        n0 = int(np.asarray(m0.n_alive()))
+        advance_2d("taylor_green", base, dt=.001, last_time=.002,
+                   max_epoch=60, viz=False, verbose=0, test_res=(16, 16))
+        advance_2d("taylor_green", shard, dt=.001, last_time=.002,
+                   max_epoch=60, viz=False, verbose=0, test_res=(16, 16),
+                   mesh_shape=(n_devices // n_gauss_axis, n_gauss_axis))
+        m1, spec1 = _ckpt.load_checkpoint(
+            os.path.join(base, "gaussian_velocity_2.pt"))
+        m2, spec2 = _ckpt.load_checkpoint(
+            os.path.join(shard, "gaussian_velocity_2.pt"))
+        assert spec1 == spec2
+        n1, n2 = int(np.asarray(m1.n_alive())), int(np.asarray(m2.n_alive()))
+        assert n1 > n0, (n0, n1)  # the forced split actually fired
+        assert n1 == n2, (n1, n2)  # same splitting decisions under the mesh
+        xq = jnp.asarray(
+            np.random.RandomState(3).uniform(0.5, 5.5, (64, 2)), jnp.float32)
+        v1, _ = _field.value_and_jac(m1, spec1, xq)
+        v2, _ = _field.value_and_jac(m2, spec2, xq)
+        scale = float(jnp.abs(v1).mean())
+        err = float(jnp.abs(v1 - v2).mean())
+        assert err < 0.05 * scale, (err, scale)
+        print(f"[parallel.dryrun] frame loop (2 frames, forced split "
+              f"{n0}->{n1} under mesh) field agreement "
+              f"{err / scale:.4f} OK")
+
 
 # ---- shard_map path (Pallas-kernel compatible) ----
 #
