@@ -102,6 +102,16 @@ def _use_cells(b: int, n: int, d: int) -> bool:
 def _cells_tiles(d: int):
     tb = int(os.environ.get("GF_CELLS_TB", "256"))
     tn = int(os.environ.get("GF_CELLS_TN", "512"))
+    # the coarse overflow fallback runs at (max(tb,256), max(tn,512)) and
+    # _coarsen_mask OR-pools the fine mask into it, so the fine tile must
+    # divide the coarse one; a non-divisor would otherwise surface as an
+    # opaque reshape error at trace time (ADVICE r4)
+    tbc = max(tb, _CELLS_FALLBACK_TB)
+    tnc = max(tn, _CELLS_FALLBACK_TN)
+    if tbc % tb or tnc % tn:
+        raise ValueError(
+            f"GF_CELLS_TB={tb} must divide {tbc} and GF_CELLS_TN={tn} "
+            f"must divide {tnc} (the coarse fallback tiling)")
     return tb, tn
 
 

@@ -53,12 +53,13 @@ def _spread2(v: jnp.ndarray) -> jnp.ndarray:
 
 def morton_key(x: jnp.ndarray, lo, hi) -> jnp.ndarray:
     """(B,) int32 Z-order key of points ``x`` (B, d) on a 2^bits-per-axis
-    lattice over [lo, hi] (10 bits/axis in 3D, 16 in 2D; both fill 30-32
-    bits). Points outside the box clamp to the boundary lattice cells —
-    fine for sorting (out-of-domain points cluster at the faces they
-    exit)."""
+    lattice over [lo, hi] (10 bits/axis in 3D -> 30 bits; 15 in 2D -> 30
+    bits, NOT 16: y's top bit would land in the int32 sign bit and order
+    upper-half-y points first — ADVICE r4). Points outside the box clamp
+    to the boundary lattice cells — fine for sorting (out-of-domain
+    points cluster at the faces they exit)."""
     d = x.shape[-1]
-    bits = 10 if d == 3 else 16
+    bits = 10 if d == 3 else 15
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
     scale = (2.0 ** bits) / jnp.maximum(hi - lo, 1e-30)
@@ -100,11 +101,16 @@ def sort_queries(x: jnp.ndarray, lo, hi) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def sort_key_np(x) -> "np.ndarray":
-    """Host-side (numpy) twin of :func:`sort_key` — MUST agree with it
-    (the clone split rebuild sorts through this; a mismatched key would
-    leave post-split mixtures ordered differently from the runtime sort
-    and silently loosen the tile masks). Coordinate 0 by default; Morton
-    in 3D only under GF_SPATIAL_KEY=morton."""
+    """Host-side (numpy) twin of :func:`sort_key`. Coordinate 0 by
+    default (exactly :func:`sort_key`); Morton in 3D only under
+    GF_SPATIAL_KEY=morton, where the lattice bounds come from ``x``'s own
+    min/max — exact key agreement with ``spatially_sorted`` (alive-masked
+    bounds) therefore only holds when ``x`` contains alive rows only,
+    which is the sole callsite's invariant (solver/clone.py:154 sorts the
+    freshly rebuilt, unpadded arrays). With mismatched bounds the two can
+    order identical points differently — a perf-only effect (looser tile
+    masks until the next frame-boundary re-sort), never a correctness one
+    (ADVICE r4)."""
     import os
     import numpy as np
     x = np.asarray(x)

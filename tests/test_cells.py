@@ -43,6 +43,35 @@ def test_morton_key_octant_order():
     assert bool(jnp.all(jnp.argsort(keys) == jnp.arange(8)))
 
 
+def test_cells_tiles_nondivisor_raises_clearly(monkeypatch):
+    """ADVICE r4: a tile size that doesn't divide the coarse fallback
+    block must raise a clear ValueError naming the env var, not an opaque
+    reshape error at trace time."""
+    monkeypatch.setenv("GF_CELLS_TB", "96")
+    with pytest.raises(ValueError, match="GF_CELLS_TB=96"):
+        field._cells_tiles(3)
+    monkeypatch.setenv("GF_CELLS_TB", "128")
+    monkeypatch.setenv("GF_CELLS_TN", "384")
+    with pytest.raises(ValueError, match="GF_CELLS_TN=384"):
+        field._cells_tiles(3)
+    monkeypatch.setenv("GF_CELLS_TN", "256")
+    assert field._cells_tiles(3) == (128, 256)
+
+
+def test_morton_key_2d_nonnegative_and_ordered():
+    """ADVICE r4: 16 bits/axis in 2D pushed y's top bit into the int32
+    sign bit, so upper-half-y points sorted FIRST; 15 bits keeps the key
+    non-negative and Z-ordered."""
+    r = np.random.RandomState(0)
+    pts = jnp.asarray(r.uniform(0, 1, (512, 2)).astype(np.float32))
+    keys = spatial.morton_key(pts, (0, 0), (1, 1))
+    assert np.all(np.asarray(keys) >= 0)
+    quad = jnp.asarray([[0.1, 0.1], [0.9, 0.1], [0.1, 0.9], [0.9, 0.9]],
+                       jnp.float32)
+    qk = spatial.morton_key(quad, (0, 0), (1, 1))
+    assert bool(jnp.all(jnp.argsort(qk) == jnp.arange(4)))
+
+
 def test_morton_sorted_runs_are_compact():
     """Consecutive Morton runs must have much smaller bboxes than
     x-sorted runs of the same length (the whole point)."""
