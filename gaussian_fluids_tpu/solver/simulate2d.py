@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import Optional
 
 import jax
@@ -196,6 +197,7 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
 
     t, cnt = 0.0, start_frame + 1
     while t < last_time:
+        ft0 = time.perf_counter()
         key, kc, kp = rng.split3(key)
         adv_lo = (adv_domain[0] * sf, adv_domain[2] * sf)
         adv_hi = (adv_domain[1] * sf, adv_domain[3] * sf)
@@ -231,10 +233,17 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
                 weights=w, boundary_lambda=1.0, batch_size=batch_size,
                 max_epoch=max_epoch, verbose=verbose)
         mix = new_mix
+        ft1 = time.perf_counter()
         if viz:
             _viz_frame(out_dir, str(cnt), mix, spec, scene)
+        ft2 = time.perf_counter()
         checkpoint.save_checkpoint(
             os.path.join(out_dir, f"gaussian_velocity_{cnt}.pt"), mix, spec)
+        if verbose:
+            ft3 = time.perf_counter()
+            print(f"[frame {cnt}] solve {ft1 - ft0:.1f}s viz "
+                  f"{ft2 - ft1:.1f}s save {ft3 - ft2:.1f}s "
+                  f"(N={int(mix.n_alive())}/{mix.capacity})", flush=True)
         cnt += 1
         t += dt
     return mix, spec

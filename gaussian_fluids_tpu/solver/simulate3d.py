@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import Optional
 
 import jax
@@ -160,6 +161,7 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
 
     t, cnt = 0.0, start_frame + 1
     while t < last_time:
+        ft0 = time.perf_counter()
         key, kc, kp = rng.split3(key)
         if mesh is None:
             new_mix = clone_velocity_field(
@@ -198,10 +200,17 @@ def advance_3d(init_cond: str, out_dir: str, dt: float, last_time: float,
             new_mix = res
         mix = new_mix
         print(f"Wrote frame {cnt}")
+        ft1 = time.perf_counter()
         if viz:
             _write_frame_vti(out_dir, str(cnt), mix, spec, scene, viz_res)
+        ft2 = time.perf_counter()
         checkpoint.save_checkpoint(
             os.path.join(out_dir, f"gaussian_velocity_{cnt}.pt"), mix, spec)
+        if verbose:
+            ft3 = time.perf_counter()
+            print(f"[frame {cnt}] solve {ft1 - ft0:.1f}s viz "
+                  f"{ft2 - ft1:.1f}s save {ft3 - ft2:.1f}s "
+                  f"(N={int(mix.n_alive())}/{mix.capacity})", flush=True)
         cnt += 1
         t += dt
     return mix, spec
