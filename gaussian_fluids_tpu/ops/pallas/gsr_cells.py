@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussian_fluids_tpu.ops.pallas.gsr_centered import (
-    _DOT, _dn_accumulate, _interpret, _tile_quantities)
+    _DOT, _dn_accumulate, _interpret, _mm_fwd, _tile_quantities)
 
 
 def _is_first_of_run(ref, w):
@@ -67,9 +67,9 @@ def _fwd_work_kernel(rows_ref, cols_ref, x_ref, muT_ref, ppT_ref, v_ref,
         v = v_ref[:]
         mgv = jnp.where(m, g - clamp, 0.0)
         mg = jnp.where(m, g, 0.0)
-        out_ref[:, :vdim] += _DOT(mgv, v, (((1,), (0,)), ((), ())))
+        out_ref[:, :vdim] += _mm_fwd(mgv, v, (((1,), (0,)), ((), ())))
         for k in range(njac):
-            out_ref[:, (1 + k) * vdim:(2 + k) * vdim] += _DOT(
+            out_ref[:, (1 + k) * vdim:(2 + k) * vdim] += _mm_fwd(
                 -mg * pd[k], v, (((1,), (0,)), ((), ())))
 
 

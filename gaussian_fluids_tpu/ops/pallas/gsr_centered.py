@@ -66,6 +66,27 @@ def _off_pairs(d: int):
     return [(i, j) for i in range(d) for j in range(i + 1, d)]
 
 
+def _mm_fwd(w, v, dims):
+    """Forward-kernel (TB, TN) @ (TN, vdim) contraction.
+
+    GF_FWD_MM_BF16=1 issues the MXU pass with bf16 operands (f32
+    accumulate): vdim=3 pads to the 128-wide MXU, so these thin matmuls
+    are pure issue-rate cost and f32 passes run at ~1/6 the bf16 rate.
+    The centered weights are bf16-well-conditioned by design (module
+    docstring: |w_k| <= e^{-1/2} sqrt(lambda_max), no cancellation), so
+    the ~4e-3 relative operand rounding lands directly on the output —
+    acceptable for the forward sweeps (the RK4 target evaluations, whose
+    losses converge to ~1e-2 residuals, and the custom-VJP forward, where
+    it perturbs the sampled loss at the level of batch noise). Backward
+    kernels keep f32 operands — gradients are never bf16-rounded.
+    Off by default until the on-chip A/B (scripts/bench_fwd_bf16.py);
+    read at trace time, so set it before the first jit of a shape."""
+    import os
+    if os.environ.get("GF_FWD_MM_BF16", "0") == "1":
+        return _DOT(w.astype(jnp.bfloat16), v.astype(jnp.bfloat16), dims)
+    return _DOT(w, v, dims)
+
+
 def _tile_quantities(x, muT, ppT, d, clamp):
     """delta list, g, m, Pd list — all (TB, TN), f32 on the VPU.
 
@@ -106,9 +127,9 @@ def _fwd_kernel(tmask_ref, x_ref, muT_ref, ppT_ref, v_ref, out_ref, acc_ref,
         v = v_ref[:]
         mgv = jnp.where(m, g - clamp, 0.0)
         mg = jnp.where(m, g, 0.0)
-        acc_ref[:, :vdim] += _DOT(mgv, v, (((1,), (0,)), ((), ())))
+        acc_ref[:, :vdim] += _mm_fwd(mgv, v, (((1,), (0,)), ((), ())))
         for k in range(njac):
-            acc_ref[:, (1 + k) * vdim:(2 + k) * vdim] += _DOT(
+            acc_ref[:, (1 + k) * vdim:(2 + k) * vdim] += _mm_fwd(
                 -mg * pd[k], v, (((1,), (0,)), ((), ())))
 
     @pl.when(j == nsteps - 1)
