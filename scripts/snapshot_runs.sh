@@ -88,6 +88,8 @@ analyze tv_advance.done  analyze_taylor_vortex.txt  scripts/analyze_taylor_vorte
 analyze svr_advance.done analyze_ring3d_svr.txt     scripts/analyze_ring3d.py output_3d_svr
 analyze rwo_advance.done analyze_ring3d_rwo.txt \
   scripts/analyze_ring3d.py output_3d_rwo 5 32 ring_with_obstacle
+analyze rc_tg128_advance.done analyze_rc_tg128_ab.txt \
+  scripts/analyze_rc_tg128_ab.py output_3d_ring_collide output_3d_rc_tg128
 analyze vp_advance.done  analyze_vp.txt             scripts/analyze_vortices_pass2d.py output_vp vortices_pass
 for v in narrow noslip particles; do
   analyze vortices_pass_${v}_advance.done analyze_vp_${v}.txt \

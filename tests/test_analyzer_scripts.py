@@ -96,6 +96,31 @@ def test_analyze_ring3d(tmp_path):
     assert len(rows) == 2
 
 
+def test_analyze_rc_tg128_ab(tmp_path):
+    """The cached-target A/B analyzer: identical runs must PASS with
+    ratio 1.0; a clearly worse cached run must FAIL."""
+    a = os.path.join(str(tmp_path), "exact")
+    b = os.path.join(str(tmp_path), "cached")
+    os.makedirs(a)
+    os.makedirs(b)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        mix, spec = _mixture((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 16, 3, rng)
+        for d in (a, b):
+            save_checkpoint(os.path.join(d, f"gaussian_velocity_{i}.pt"),
+                            mix, spec)
+    out = _run("analyze_rc_tg128_ab.py", a, b, "1", "8")
+    assert "VERDICT: PASS" in out
+    # corrupt the cached run's last frame -> morphology drifts -> FAIL
+    mix, spec = _mixture((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), 16, 3,
+                         np.random.default_rng(99))
+    p = mix.params()
+    mix = mix.with_params({**p, "values": p["values"] * 40.0})
+    save_checkpoint(os.path.join(b, "gaussian_velocity_2.pt"), mix, spec)
+    out = _run("analyze_rc_tg128_ab.py", a, b, "1", "8")
+    assert "VERDICT: FAIL" in out
+
+
 @pytest.mark.slow
 def test_analyze_taylor_green2d(tmp_path):
     from gaussian_fluids_tpu.scenes import get_scene_2d
