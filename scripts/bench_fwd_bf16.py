@@ -59,16 +59,50 @@ def main():
     try:
         import jax
         import jax.numpy as jnp
-        from gaussian_fluids_tpu.ops import field
+        from gaussian_fluids_tpu.ops import field, spatial
 
-        # build + warm both variants (two compiled programs coexist)
-        rc_f32, carry_f32, mix, spec, src = _build(False)
-        rc_bf16, carry_bf16, _, _, _ = _build(True)
+        # Build AND WARM each variant inside its own env context: the env
+        # flag is read at TRACE time, which happens at the first CALL, not
+        # at build — warming both after the last _build would trace both
+        # under the same flag (the first run of this script did exactly
+        # that: speedup 1.001, bit-identical outputs).
         key = jax.random.PRNGKey(0)
+        rc_f32, carry_f32, mix, spec, src = _build(False)
         carry_f32, _ = rc_f32(carry_f32, key, 100)
         float(np.asarray(carry_f32[0]["positions"])[0, 0])
+        rc_bf16, carry_bf16, _, _, _ = _build(True)
         carry_bf16, _ = rc_bf16(carry_bf16, key, 100)
         float(np.asarray(carry_bf16[0]["positions"])[0, 0])
+
+        # direct target-sweep timing + engagement check: one val+jac
+        # forward over the production mixture, traced under each flag
+        r = np.random.RandomState(0)
+        xq = jnp.asarray(r.uniform(0, 1, (8192, 3)).astype(np.float32))
+        xq = xq[jnp.argsort(spatial.sort_key(xq, spec.lo, spec.hi))]
+
+        def _sweep_time(flag):
+            if flag:
+                os.environ["GF_FWD_MM_BF16"] = "1"
+            else:
+                os.environ.pop("GF_FWD_MM_BF16", None)
+            fn = jax.jit(lambda m, p: field.value_and_jac(
+                m, spec, p, presorted=True, need_dx=False))
+            v, j = fn(mix, xq)
+            float(np.asarray(v)[0, 0])   # warm + drain
+            t0 = time.perf_counter()
+            for _ in range(20):
+                v, j = fn(mix, xq)
+            # ONE final fetch drains the serial device queue (the tunnel
+            # adds ~25 ms per round trip — per-rep fetches would swamp a
+            # ~2 ms sweep)
+            s = float(np.asarray(v).sum())
+            dt = (time.perf_counter() - t0) / 20
+            return dt, np.asarray(v), np.asarray(j), s
+
+        sweep_f32, v32, j32, _ = _sweep_time(False)
+        sweep_bf16, vbf, jbf, _ = _sweep_time(True)
+        engaged = float(np.abs(vbf - v32).max()) > 0.0
+        os.environ.pop("GF_FWD_MM_BF16", None)
 
         # interleaved rate (3 x 200 epochs each, alternating)
         t_f32, t_bf16 = [], []
@@ -80,23 +114,15 @@ def main():
         eps_f32 = 100 * len(t_f32) / sum(t_f32)
         eps_bf16 = 100 * len(t_bf16) / sum(t_bf16)
 
-        # forward accuracy on the production checkpoint
-        r = np.random.RandomState(0)
-        x = jnp.asarray(r.uniform(0, 1, (8192, 3)).astype(np.float32))
-        os.environ.pop("GF_FWD_MM_BF16", None)
-        v32, j32 = jax.jit(lambda m, p: field.value_and_jac(
-            m, spec, p, need_dx=False))(mix, x)
-        v32, j32 = np.asarray(v32), np.asarray(j32)
-        os.environ["GF_FWD_MM_BF16"] = "1"
-        vbf, jbf = jax.jit(lambda m, p: field.value_and_jac(
-            m, spec, p, need_dx=False))(mix, x)
-        vbf, jbf = np.asarray(vbf), np.asarray(jbf)
-        os.environ.pop("GF_FWD_MM_BF16", None)
         vs = max(np.abs(v32).max(), 1e-12)
         js = max(np.abs(j32).max(), 1e-12)
         out = {
             "experiment": "fwd_mm_bf16_ab",
             "checkpoint": src,
+            "bf16_engaged": engaged,
+            "sweep_ms_f32": round(sweep_f32 * 1e3, 3),
+            "sweep_ms_bf16": round(sweep_bf16 * 1e3, 3),
+            "sweep_speedup": round(sweep_f32 / sweep_bf16, 3),
             "eps_f32": round(eps_f32, 2),
             "eps_bf16": round(eps_bf16, 2),
             "speedup": round(eps_bf16 / eps_f32, 3),
