@@ -69,21 +69,16 @@ def _off_pairs(d: int):
 def _mm_fwd(w, v, dims):
     """Forward-kernel (TB, TN) @ (TN, vdim) contraction.
 
-    GF_FWD_MM_BF16=1 issues the MXU pass with bf16 operands (f32
-    accumulate): vdim=3 pads to the 128-wide MXU, so these thin matmuls
-    are pure issue-rate cost and f32 passes run at ~1/6 the bf16 rate.
-    The centered weights are bf16-well-conditioned by design (module
-    docstring: |w_k| <= e^{-1/2} sqrt(lambda_max), no cancellation), so
-    the ~4e-3 relative operand rounding lands directly on the output —
-    acceptable for the forward sweeps (the RK4 target evaluations, whose
-    losses converge to ~1e-2 residuals, and the custom-VJP forward, where
-    it perturbs the sampled loss at the level of batch noise). Backward
-    kernels keep f32 operands — gradients are never bf16-rounded.
-    Off by default until the on-chip A/B (scripts/bench_fwd_bf16.py);
-    read at trace time, so set it before the first jit of a shape."""
-    import os
-    if os.environ.get("GF_FWD_MM_BF16", "0") == "1":
-        return _DOT(w.astype(jnp.bfloat16), v.astype(jnp.bfloat16), dims)
+    MEASURED NEGATIVE (round 5, scripts/bench_fwd_bf16.py on the pinned
+    production checkpoint): explicitly casting these operands to bf16
+    (GF_FWD_MM_BF16=1) produced BIT-IDENTICAL outputs and a 1.00x epoch
+    rate — because ``lax.dot_general`` at the DEFAULT precision already
+    issues f32 operands as a single bf16 MXU pass on TPU. The thin
+    vdim-padded matmuls were never running in the 6-pass f32 mode, so
+    there is no precision left to trade for speed here; the forward
+    sweeps' cost is VPU elementwise + exp + work-list prep, not MXU
+    passes. Kept as the documented finding; the helper now just issues
+    the dot."""
     return _DOT(w, v, dims)
 
 

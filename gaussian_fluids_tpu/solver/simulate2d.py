@@ -214,8 +214,10 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
                 mix, spec, mesh=mesh, lo=adv_lo, hi=adv_hi,
                 test_x=test_grid(adv_domain), key=kc, seed=cnt, d=2,
                 batch_size=batch_size, max_epoch=max_epoch, verbose=verbose)
+        ftc = time.perf_counter()
         new_mix = advect_covector_field_2d(new_mix, spec, dt)
         adv_domain = scene.extra_advect(adv_domain, dt)
+        fta = time.perf_counter()
         w = ProjectWeights(vor=1.0, div=1.0, aniso=10.0, vol=10.0,
                            delta_pos=0.5)
         if mesh is None:
@@ -241,9 +243,11 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
             os.path.join(out_dir, f"gaussian_velocity_{cnt}.pt"), mix, spec)
         if verbose:
             ft3 = time.perf_counter()
-            print(f"[frame {cnt}] solve {ft1 - ft0:.1f}s viz "
-                  f"{ft2 - ft1:.1f}s save {ft3 - ft2:.1f}s "
-                  f"(N={int(mix.n_alive())}/{mix.capacity})", flush=True)
+            print(f"[frame {cnt}] solve {ft1 - ft0:.1f}s (clone "
+                  f"{ftc - ft0:.1f} advect {fta - ftc:.1f} project "
+                  f"{ft1 - fta:.1f}) viz {ft2 - ft1:.1f}s save "
+                  f"{ft3 - ft2:.1f}s (N={int(mix.n_alive())}/"
+                  f"{mix.capacity})", flush=True)
         cnt += 1
         t += dt
     return mix, spec
