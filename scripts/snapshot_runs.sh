@@ -111,6 +111,39 @@ if ls output_3d_ring_collide/density_a_*.vti >/dev/null 2>&1; then
   fi
 fi
 
+# Partial-progress vortices_pass analysis (round 5): the family runs in
+# 100-frame round-robin chunks and may end the round mid-horizon; record
+# the sampler-constraint verdict every ~25 new frames instead of waiting
+# for .done (same pattern as the density partial above).
+vp_partial() {
+  scene=$1 dir=$2 tag=$3 marker=$4
+  [ -e "runs_r2/$marker" ] && return 0
+  n=$(ls "$dir"/gaussian_velocity_*.pt 2>/dev/null | wc -l)
+  last=$(cat "$EV/.vp_partial_n_$tag" 2>/dev/null || echo 0)
+  if [ "$n" -ge $((last + 25)) ]; then
+    { echo "# PARTIAL $scene analysis at $n frames ($(date -u +%FT%TZ))"
+      timeout 1800 python scripts/analyze_vortices_pass2d.py "$dir" "$scene" 2>&1
+    } > "$EV/analyze_${tag}_partial.txt" || true
+    echo "$n" > "$EV/.vp_partial_n_$tag"
+  fi
+}
+vp_partial vortices_pass output_vp vp vp_advance.done
+vp_partial vortices_pass_narrow output_vortices_pass_narrow vp_narrow vortices_pass_narrow_advance.done
+vp_partial vortices_pass_noslip output_vortices_pass_noslip vp_noslip vortices_pass_noslip_advance.done
+vp_partial vortices_pass_particles output_vortices_pass_particles vp_particles vortices_pass_particles_advance.done
+
+# Partial taylor_vortex too (400-frame horizon, chain restarts mid-run)
+if [ ! -e "runs_r2/tv_advance.done" ]; then
+  n=$(ls output_tv/gaussian_velocity_*.pt 2>/dev/null | wc -l)
+  last=$(cat "$EV/.tv_partial_n" 2>/dev/null || echo 0)
+  if [ "$n" -ge $((last + 50)) ]; then
+    { echo "# PARTIAL taylor_vortex analysis at $n frames ($(date -u +%FT%TZ))"
+      timeout 1800 python scripts/analyze_taylor_vortex2d.py output_tv 2>&1
+    } > "$EV/analyze_taylor_vortex_partial.txt" || true
+    echo "$n" > "$EV/.tv_partial_n"
+  fi
+fi
+
 # Path-restricted add/check/commit: the watcher runs this asynchronously,
 # so a bare `git commit` would sweep anything another process has staged
 # into the snapshot commit (ADVICE r2). `git commit -- <path>` commits only
