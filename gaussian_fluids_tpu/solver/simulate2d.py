@@ -41,40 +41,98 @@ def _scene_eval(scene_name: str):
     return jax.jit(scene.velocity), jax.jit(scene.velocity_jac)
 
 
-def _viz_frame(out_dir, tag, mix, spec, scene, with_refs=False):
-    """The reference's four per-frame PNGs (2D/advance.py:347-350)."""
+class _HostMix:
+    """Pure-numpy snapshot of the alive rows, quacking enough like
+    GaussianMixture for viz2d.draw_ellipses — so the render worker never
+    touches the device (its ``compact()`` is a no-op on itself)."""
+
+    def __init__(self, mix):
+        keep = np.asarray(mix.alive)
+        self.positions = np.asarray(mix.positions)[keep]
+        self.scalings = np.asarray(mix.scalings)[keep]
+        self.rotations = np.asarray(mix.rotations)[keep]
+        self.values = np.asarray(mix.values)[keep]
+
+    def compact(self):
+        return self
+
+
+_RENDER_POOL = None
+_RENDER_PENDING: "deque" = None
+
+
+def _viz_submit(fn):
+    """Run ``fn`` on the single background render worker, bounded at 2
+    outstanding frames (backpressure keeps memory flat and a crash loses
+    at most 2 frames' PNGs — advance_2d backfills them on resume).
+    Worker exceptions re-raise here at the next submit/flush."""
+    global _RENDER_POOL, _RENDER_PENDING
+    if _RENDER_POOL is None:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        _RENDER_POOL = ThreadPoolExecutor(max_workers=1,
+                                          thread_name_prefix="viz-render")
+        _RENDER_PENDING = deque()
+    while len(_RENDER_PENDING) >= 2:
+        _RENDER_PENDING.popleft().result()
+    _RENDER_PENDING.append(_RENDER_POOL.submit(fn))
+
+
+def flush_viz():
+    """Block until every queued render finished (end of the frame loop)."""
+    while _RENDER_PENDING:
+        _RENDER_PENDING.popleft().result()
+
+
+def _viz_frame(out_dir, tag, mix, spec, scene, asynchronous=False):
+    """The reference's four per-frame PNGs (2D/advance.py:347-350).
+
+    The device sweeps run in the CALLER's thread (single-threaded device
+    dispatch — the tunneled client's thread-safety is unproven), with the
+    vorticity and divergence heatmaps sharing ONE Jacobian sweep. The
+    matplotlib rendering — the bulk of the ~2 s/frame — goes to the
+    background render worker when ``asynchronous`` (production frame
+    loop); PNG bytes are identical either way."""
     from gaussian_fluids_tpu.io import viz2d
     sf = scene.scaling_factor
     x0i, x1i, y0i, y1i = scene.initialize_domain
     x0v, x1v, y0v, y1v = scene.visualize_domain
     xnv, ynv = scene.visualize_res
 
-    def gauss_vel(x):
-        return field.eval_on_grid(mix, spec, x)[0]
+    g_i = np.asarray(grid_points_2d(x0i * sf, x1i * sf, y0i * sf, y1i * sf,
+                                    30, 30))
+    g_v = np.asarray(grid_points_2d(x0v, x1v, y0v, y1v, 30, 30))
+    g_r = np.asarray(grid_points_2d(x0v, x1v, y0v, y1v, xnv, ynv))
+    vel_i = np.asarray(field.eval_on_grid(mix, spec, g_i)[0])
+    vel_v = np.asarray(field.eval_on_grid(mix, spec, g_v * sf)[0]) / sf
+    jac_r = np.asarray(field.eval_on_grid(mix, spec, g_r * sf)[1])
+    vor = analysis.curl2d_np(jac_r)
+    div = analysis.divergence_np(jac_r)
+    host_mix = _HostMix(mix)  # ellipse overlay data, fetched here
 
-    def orig_vel(x):
-        return gauss_vel(np.asarray(x) * sf) / sf
+    def render():
+        viz2d.show_field(lambda x: vel_i, x0i * sf, x1i * sf, y0i * sf,
+                         y1i * sf, dim=2, x_n=30, y_n=30,
+                         additional_drawing=lambda: viz2d.draw_ellipses(
+                             host_mix),
+                         save_filename=os.path.join(out_dir, f"{tag}.png"))
+        viz2d.show_field(lambda x: vel_v, x0v, x1v, y0v, y1v, dim=2,
+                         x_n=30, y_n=30,
+                         save_filename=os.path.join(out_dir,
+                                                    f"clean_{tag}.png"))
+        viz2d.show_field(lambda x: vor, x0v, x1v, y0v, y1v, x_n=xnv,
+                         y_n=ynv,
+                         save_filename=os.path.join(out_dir,
+                                                    f"vorticity_{tag}.png"))
+        viz2d.show_field(lambda x: div, x0v, x1v, y0v, y1v, x_n=xnv,
+                         y_n=ynv,
+                         save_filename=os.path.join(
+                             out_dir, f"divergence_{tag}.png"))
 
-    def orig_vor(x):
-        j = field.eval_on_grid(mix, spec, np.asarray(x) * sf)[1]
-        return analysis.curl2d_np(j)
-
-    def orig_div(x):
-        j = field.eval_on_grid(mix, spec, np.asarray(x) * sf)[1]
-        return analysis.divergence_np(j)
-
-    viz2d.show_field(gauss_vel, x0i * sf, x1i * sf, y0i * sf, y1i * sf,
-                     dim=2, x_n=30, y_n=30,
-                     additional_drawing=lambda: viz2d.draw_ellipses(mix),
-                     save_filename=os.path.join(out_dir, f"{tag}.png"))
-    viz2d.show_field(orig_vel, x0v, x1v, y0v, y1v, dim=2, x_n=30, y_n=30,
-                     save_filename=os.path.join(out_dir, f"clean_{tag}.png"))
-    viz2d.show_field(orig_vor, x0v, x1v, y0v, y1v, x_n=xnv, y_n=ynv,
-                     save_filename=os.path.join(out_dir,
-                                                f"vorticity_{tag}.png"))
-    viz2d.show_field(orig_div, x0v, x1v, y0v, y1v, x_n=xnv, y_n=ynv,
-                     save_filename=os.path.join(out_dir,
-                                                f"divergence_{tag}.png"))
+    if asynchronous:
+        _viz_submit(render)
+    else:
+        render()
 
 
 def initialize_2d(init_cond: str, out_dir: str, max_epoch: int = 10000,
@@ -193,6 +251,14 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
             adv[0] * sf, adv[1] * sf, adv[2] * sf, adv[3] * sf, xnv, ynv))
 
     if viz:
+        # backfill PNGs a crashed run's async renderer never wrote (at
+        # most the 2 outstanding frames before the crash)
+        for k in range(max(0, start_frame - 2), start_frame):
+            ck = os.path.join(out_dir, f"gaussian_velocity_{k}.pt")
+            if (os.path.exists(ck) and not os.path.exists(
+                    os.path.join(out_dir, f"divergence_{k}.png"))):
+                m_k, _ = checkpoint.load_checkpoint(ck)
+                _viz_frame(out_dir, str(k), m_k, spec, scene)
         _viz_frame(out_dir, str(start_frame), mix, spec, scene)
 
     t, cnt = 0.0, start_frame + 1
@@ -237,7 +303,8 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
         mix = new_mix
         ft1 = time.perf_counter()
         if viz:
-            _viz_frame(out_dir, str(cnt), mix, spec, scene)
+            _viz_frame(out_dir, str(cnt), mix, spec, scene,
+                       asynchronous=True)
         ft2 = time.perf_counter()
         checkpoint.save_checkpoint(
             os.path.join(out_dir, f"gaussian_velocity_{cnt}.pt"), mix, spec)
@@ -250,4 +317,6 @@ def advance_2d(init_cond: str, out_dir: str, dt: float, last_time: float,
                   f"{mix.capacity})", flush=True)
         cnt += 1
         t += dt
+    if viz:
+        flush_viz()
     return mix, spec

@@ -46,3 +46,37 @@ def test_draw_ellipses_explicit_indices_no_crash():
     viz2d.draw_ellipses(mix, indices=[0, 2, 4], scattering=False)
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_viz_frame_async_matches_sync(tmp_path):
+    """The background render worker must produce byte-identical PNGs to
+    the synchronous path (round-5: viz rendering moved off the frame
+    loop's critical path)."""
+    import random
+
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    from gaussian_fluids_tpu.solver import simulate2d
+
+    scene = get_scene_2d("taylor_green")
+    rng = np.random.RandomState(0)
+    n = 25
+    spec = FieldSpec.create((0, 0), (2 * np.pi, 2 * np.pi), n, d=2, vdim=2)
+    pts = rng.uniform(0.5, 5.5, size=(n, 2)).astype(np.float32)
+    mix = GaussianMixture.create(pts, spec)
+    p = mix.params()
+    mix = mix.with_params({**p, "values": 0.1 * rng.randn(
+        *np.asarray(p["values"]).shape).astype(np.float32)})
+
+    a = tmp_path / "sync"
+    b = tmp_path / "async"
+    a.mkdir()
+    b.mkdir()
+    random.seed(7)  # draw_ellipses samples overlay indices globally
+    simulate2d._viz_frame(str(a), "3", mix, spec, scene)
+    random.seed(7)
+    simulate2d._viz_frame(str(b), "3", mix, spec, scene, asynchronous=True)
+    simulate2d.flush_viz()
+    names = sorted(os.listdir(a))
+    assert names == sorted(os.listdir(b)) and len(names) == 4
+    for f in names:
+        assert (a / f).read_bytes() == (b / f).read_bytes(), f
