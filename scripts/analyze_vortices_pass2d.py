@@ -95,10 +95,19 @@ sampled = [n for n in all_frames if n % stride == 0]
 if sampled[-1] != max(all_frames):
     sampled.append(max(all_frames))
 
+# no-slip variant: the circles carry a type-1 Dirichlet u=0 target
+# (reference 2D/init_cond.py:419-428 sample_for_vortices_pass_1), so the
+# TANGENTIAL velocity on them must vanish too, not just the normal flux.
+noslip = scene_name == "vortices_pass_noslip"
+
 hdr_fl = " ".join(f"{'flux' + str(i):>9}" for i in range(len(obstacles)))
+if noslip:
+    hdr_fl += " " + " ".join(
+        f"{'slip' + str(i):>9}" for i in range(len(obstacles)))
 print(f"scene={scene_name}, obstacles={len(obstacles)}")
 print(f"{'frame':>6} {'N':>6} {'mean|div|':>11} {'max|div|':>10} "
       f"{'mean|vor|':>10} {'core+ (x,y)':>16} {'core- (x,y)':>16} {hdr_fl}")
+flux_hist, slip_hist = [], []
 for n in sampled:
     mix, spec = load_checkpoint(all_frames[n])
     _, jac = field.eval_on_grid(mix, spec, pts * sf)
@@ -109,13 +118,20 @@ for n in sampled:
     # mean flow speed on the grid normalizes the flux residual
     val, _ = field.eval_on_grid(mix, spec, pts * sf)
     speed = np.linalg.norm(np.asarray(val) / sf, axis=-1).mean()
-    fl = []
+    fl, sl = [], []
     for bp, bn in flux_probes:
         v = np.asarray(field.eval_on_grid(
             mix, spec, (bp * sf).astype(np.float32))[0]) / sf
         mean_f, _ = analysis.flux_stats(v, bn)
         fl.append(mean_f / max(speed, 1e-12))
-    fl_s = " ".join(f"{f:9.4f}" for f in fl)
+        if noslip:
+            tang = np.stack([-bn[:, 1], bn[:, 0]], -1)
+            mean_t, _ = analysis.flux_stats(v, tang)
+            sl.append(mean_t / max(speed, 1e-12))
+    if n >= 1:
+        flux_hist.append(fl)
+        slip_hist.append(sl)
+    fl_s = " ".join(f"{f:9.4f}" for f in fl + sl)
     print(f"{n:6d} {int(mix.alive.sum()):6d} {np.abs(div).mean():11.3e} "
           f"{np.abs(div).max():10.3e} {np.abs(vor).mean():10.4f} "
           f"({cp[0]:+.2f},{cp[1]:+.2f})  ({cn[0]:+.2f},{cn[1]:+.2f})  "
@@ -128,3 +144,24 @@ if dts.size:
           f"s, p90 {np.percentile(dts, 90):.1f} s")
 print("# flux columns: mean |u.n| on each obstacle circle / grid mean "
       "|u| (0 = perfectly impermeable)")
+if noslip:
+    print("# slip columns: mean |u.t| (tangential) on each circle / grid "
+          "mean |u| — the type-1 Dirichlet u=0 target adds this on top "
+          "of impermeability")
+
+# Explicit obstacle-constraint verdict over the post-initial frames
+# (frame 0 is the raw initial fit, before any projection has enforced
+# the samplers): the free-slip circles must be near-impermeable; the
+# no-slip circles must also kill the tangential component.
+if obstacles and flux_hist:
+    med_fl = np.median(np.asarray(flux_hist), axis=0)
+    ok = bool((med_fl < 0.05).all())
+    msg = (f"median normalized obstacle flux per circle "
+           f"{[f'{f:.4f}' for f in med_fl]} (threshold 0.05)")
+    if noslip and slip_hist:
+        med_sl = np.median(np.asarray(slip_hist), axis=0)
+        ok = ok and bool((med_sl < 0.15).all())
+        msg += (f"; median normalized tangential slip "
+                f"{[f'{s:.4f}' for s in med_sl]} (threshold 0.15)")
+    print(f"# VERDICT obstacle constraint: {'PASS' if ok else 'WEAK'} — "
+          f"{msg}")
