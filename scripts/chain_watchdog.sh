@@ -60,7 +60,7 @@ while true; do
   kill -9 -- "-$pid" 2>/dev/null
   # give the tunnel a moment to drop the dead client's device hold
   sleep 60
-  setsid nohup bash scripts/run_production_chain4.sh >> runs_r2_nohup.log 2>&1 &
+  setsid nohup bash scripts/run_production_chain5.sh >> runs_r2_nohup.log 2>&1 &
   echo $! > /tmp/chain.pid
   echo "[watchdog] chain relaunched (pid $(cat /tmp/chain.pid))" \
     | tee -a "$LOGDIR/chain.log"

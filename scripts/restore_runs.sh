@@ -35,6 +35,7 @@ fi
 
 marker_dir() {
   case $1 in
+    rc_tg128_*) echo output_3d_rc_tg128 ;;
     rc_*)  echo output_3d_ring_collide ;;
     tv_*)  echo output_tv ;;
     svr_*) echo output_3d_svr ;;

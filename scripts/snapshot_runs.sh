@@ -132,6 +132,21 @@ vp_partial vortices_pass_narrow output_vortices_pass_narrow vp_narrow vortices_p
 vp_partial vortices_pass_noslip output_vortices_pass_noslip vp_noslip vortices_pass_noslip_advance.done
 vp_partial vortices_pass_particles output_vortices_pass_particles vp_particles vortices_pass_particles_advance.done
 
+# Partial rc_tg128 A/B (round 5): the cached-target full-horizon A/B can
+# end the round mid-horizon; the analyzer compares the COMMON frames, so
+# re-record the verdict every ~4 new cached frames.
+if [ ! -e "runs_r2/rc_tg128_advance.done" ]; then
+  n=$(ls output_3d_rc_tg128/gaussian_velocity_*.pt 2>/dev/null | wc -l)
+  last=$(cat "$EV/.tg128_partial_n" 2>/dev/null || echo 0)
+  if [ "$n" -ge $((last + 4)) ]; then
+    { echo "# PARTIAL rc_tg128 A/B at $n cached frames ($(date -u +%FT%TZ))"
+      timeout 1800 python scripts/analyze_rc_tg128_ab.py \
+        output_3d_ring_collide output_3d_rc_tg128 2>&1
+    } > "$EV/analyze_rc_tg128_ab_partial.txt" || true
+    echo "$n" > "$EV/.tg128_partial_n"
+  fi
+fi
+
 # Partial taylor_vortex too (400-frame horizon, chain restarts mid-run)
 if [ ! -e "runs_r2/tv_advance.done" ]; then
   n=$(ls output_tv/gaussian_velocity_*.pt 2>/dev/null | wc -l)
