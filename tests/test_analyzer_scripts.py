@@ -152,6 +152,25 @@ def test_analyze_vortices_pass2d(tmp_path):
 
 
 @pytest.mark.slow
+def test_analyze_vortices_pass2d_noslip_verdict(tmp_path):
+    """The no-slip variant must report tangential-slip columns on top of
+    the flux columns, plus the explicit obstacle-constraint verdict line
+    (a random synthetic field is nowhere near u=0 on the circles, so the
+    verdict must come out WEAK, not PASS)."""
+    from gaussian_fluids_tpu.scenes import get_scene_2d
+    scene = get_scene_2d("vortices_pass_noslip")
+    sf = scene.scaling_factor
+    (x0, x1, y0, y1) = np.asarray(scene.visualize_domain)
+    run = _write_run(str(tmp_path), (x0 * sf - 1, y0 * sf - 1),
+                     (x1 * sf + 1, y1 * sf + 1), 24, 2, frames=3)
+    out = _run("analyze_vortices_pass2d.py", run, "vortices_pass_noslip",
+               "2")
+    assert "slip0" in out and "slip1" in out
+    assert "VERDICT obstacle constraint: WEAK" in out
+    assert "tangential slip" in out
+
+
+@pytest.mark.slow
 def test_analyze_taylor_vortex2d(tmp_path):
     from gaussian_fluids_tpu.scenes import get_scene_2d
     scene = get_scene_2d("taylor_vortex")
