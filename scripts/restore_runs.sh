@@ -48,6 +48,14 @@ marker_dir() {
   esac
 }
 
+# Restored markers are BACKDATED: snapshot_runs.sh re-runs a config's
+# analyzer when its marker is newer than the committed verdict, and a
+# freshly-touched marker for a config whose artifacts were wiped (e.g.
+# the 512^3 .vti volumes) would overwrite the committed verdict with a
+# "no input" failure. A marker restored here never represents NEW
+# completion — the verdict on record is already current.
+mk() { touch -t 202001010000 "$1"; }
+
 if [ -f "$EV/done_markers.txt" ]; then
   while read -r m; do
     [ -n "$m" ] || continue
@@ -57,7 +65,7 @@ if [ -f "$EV/done_markers.txt" ]; then
     case $name in
       *_init)
         if [ -n "$d" ] && [ -e "$d/gaussian_velocity_0.pt" ]; then
-          touch "$LOGDIR/$m" && echo "restore: marker $m"
+          mk "$LOGDIR/$m" && echo "restore: marker $m"
         fi ;;
       *_advance)
         # Trust an advance marker only when the restored dir holds the
@@ -71,12 +79,12 @@ if [ -f "$EV/done_markers.txt" ]; then
           *) last=20 ;;
         esac
         if [ -n "$d" ] && [ -e "$d/gaussian_velocity_$last.pt" ]; then
-          touch "$LOGDIR/$m" && echo "restore: marker $m"
+          mk "$LOGDIR/$m" && echo "restore: marker $m"
         else
           echo "restore: SKIP marker $m (missing $d/gaussian_velocity_$last.pt)"
         fi ;;
       *)
-        touch "$LOGDIR/$m" && echo "restore: marker $m" ;;
+        mk "$LOGDIR/$m" && echo "restore: marker $m" ;;
     esac
   done < "$EV/done_markers.txt"
 fi
