@@ -76,7 +76,7 @@ def frame_time_stats(all_frames):
         if b == a + 1:
             d = os.path.getmtime(all_frames[b]) - os.path.getmtime(
                 all_frames[a])
-            if 0 < d < 600:
+            if 1.0 <= d < 600:  # <1 s = restored-copy mtime artifact
                 dts.append(d)
     if not dts:
         return

@@ -56,7 +56,7 @@ if not all_frames:
 ns = sorted(all_frames)
 dts = [os.path.getmtime(all_frames[b]) - os.path.getmtime(all_frames[a])
        for a, b in zip(ns, ns[1:]) if b == a + 1]
-dts = np.asarray([d for d in dts if 0 < d < 3600])
+dts = np.asarray([d for d in dts if 1.0 <= d < 3600])
 if dts.size:
     print(f"# per-frame wall-clock over {len(dts)} consecutive frames: "
           f"median {np.median(dts):.1f} s, p10 {np.percentile(dts, 10):.1f},"

@@ -60,7 +60,7 @@ def frame_time_stats(all_frames):
             continue
         dt = (os.path.getmtime(all_frames[b])
               - os.path.getmtime(all_frames[a]))
-        if 0 < dt < 600:
+        if 1.0 <= dt < 600:  # <1 s = restored-copy mtime artifact, not a frame
             dts.append(dt)
     return np.asarray(dts)
 

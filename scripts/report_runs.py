@@ -43,7 +43,7 @@ def report(run_dir):
             n_peak, k_peak = n, k
     mt = np.array([os.path.getmtime(frames[k]) for k in ks])
     dt = np.diff(mt)
-    dt = dt[dt > 0]
+    dt = dt[dt >= 1.0]  # <1 s deltas are restored-copy artifacts
     if dt.size:
         med = np.median(dt)
         dt = dt[dt < 5 * med]  # drop resume gaps

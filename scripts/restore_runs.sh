@@ -26,7 +26,7 @@ if [ -d "$EV/ckpts" ]; then
     for f in "$ck"gaussian_velocity_*.pt; do
       [ -e "$f" ] || continue
       if [ ! -e "$d/$(basename "$f")" ]; then
-        cp "$f" "$d/" && n=$((n + 1))
+        cp -p "$f" "$d/" && n=$((n + 1))
       fi
     done
     [ "$n" != "0" ] && echo "restore: $d <- $n checkpoints from evidence"
