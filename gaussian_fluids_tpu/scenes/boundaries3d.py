@@ -45,7 +45,8 @@ def sample_on_box(key, n, domain):
 
 def load_obstacle_mesh(info):
     """Load the obstacle OBJ; if the reference's bunny.obj is absent
-    (missing large blob), synthesize and cache an icosphere substitute."""
+    (missing large blob), synthesize and cache a concave trefoil-tube
+    substitute."""
     path = os.path.join(ASSET_DIR, info["obj_file"])
     if not os.path.exists(path):
         sub = os.path.join(ASSET_DIR, "bunny_substitute.obj")
