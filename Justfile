@@ -36,6 +36,13 @@ ring-collide3d last="2":
 	python initialize3d.py --init_cond ring_collide --dir output_3d_ring_collide
 	python advance3d.py --init_cond ring_collide --dir output_3d_ring_collide --last_time {{last}}
 
+# the recorded production configuration (BASELINE.md round-5 full-horizon
+# A/B: div residual strictly better, morphology within 0.007, 3.2x faster
+# frames); drop --target_grid for the exact reference-semantics mode
+ring-collide3d-production last="2":
+	python initialize3d.py --init_cond ring_collide --dir output_3d_ring_collide
+	python advance3d.py --init_cond ring_collide --dir output_3d_ring_collide --last_time {{last}} --target_grid 128
+
 ring-obstacle3d last="2":
 	python initialize3d.py --init_cond ring_with_obstacle --dir output_3d_ring_with_obstacle
 	python advance3d.py --init_cond ring_with_obstacle --dir output_3d_ring_with_obstacle --last_time {{last}}
