@@ -441,6 +441,28 @@ def epochs_per_frame_3d(log_path="runs_r2/rc_advance.log"):
     return counts[len(counts) // 2]
 
 
+def measured_production_frame_seconds_3d(run_dir="output_3d_rc_tg128"):
+    """Median wall-clock between consecutive checkpoint mtimes of the
+    full-horizon production run under the recorded configuration
+    (--target_grid 128; BASELINE.md round-5 A/B). Unlike
+    frame_seconds_3d (epoch-rate x epochs model, projection slice only)
+    this is the real end-to-end frame time incl. clone/advect/test
+    metrics. None if the run dir is absent or mtimes are restore
+    artifacts (<1 s deltas)."""
+    import glob
+    import re
+    fs = {int(m.group(1)): f
+          for f in glob.glob(os.path.join(run_dir, "gaussian_velocity_*.pt"))
+          if (m := re.fullmatch(r"gaussian_velocity_(\d+)\.pt",
+                                os.path.basename(f)))}
+    ks = sorted(fs)
+    dts = sorted(
+        d for a, b in zip(ks, ks[1:]) if b == a + 1
+        and 1.0 <= (d := os.path.getmtime(fs[b]) - os.path.getmtime(fs[a]))
+        < 600)
+    return round(dts[len(dts) // 2], 1) if dts else None
+
+
 def main():
     _preempt_chain()
     try:
@@ -512,6 +534,12 @@ def _main_measure():
             out["frame_seconds_3d"] = round(epf / eps3, 2)
             out["ref_frame_seconds_3d_range"] = [
                 round(epf / r3_hi, 2), round(epf / r3_lo, 2)]
+        # measured end-to-end frame time under the recorded production
+        # configuration (--target_grid 128 full-horizon run, A/B PASS —
+        # BASELINE.md round-5); ~70 s median vs the exact run's 247 s
+        mfs = measured_production_frame_seconds_3d()
+        if mfs:
+            out["frame_seconds_3d_measured_production"] = mfs
     except Exception as e:  # keep the 2D headline even if 3D fails
         out["bench_3d_error"] = repr(e)
     print(json.dumps(out))
