@@ -426,12 +426,20 @@ def measure_baseline_surrogate_3d(n_alive):
 def epochs_per_frame_3d(log_path="runs_r2/rc_advance.log"):
     """Median projection epochs-to-converge per production frame, from the
     completed ring_collide run's logs (the patience stop makes this the
-    production epoch count — STATUS_R4's proposed per-frame metric)."""
+    production epoch count — STATUS_R4's proposed per-frame metric).
+    Falls back to the committed evidence tail when the live log was
+    wiped by a host restart (it keeps the final frames' epoch counts)."""
     import re
-    try:
-        with open(log_path) as fd:
-            text = fd.read()
-    except OSError:
+    text = ""
+    for p in (log_path, "runs_r2_evidence/rc_advance.log.tail"):
+        try:
+            with open(p) as fd:
+                text = fd.read()
+        except OSError:
+            continue
+        if "Total epoch" in text:
+            break
+    if not text:
         return None
     counts = [int(m.group(1)) for m in
               re.finditer(r"\[projection\] Total epoch: (\d+)", text)]
