@@ -124,7 +124,7 @@ def _restart_chain():
     here = os.path.dirname(os.path.abspath(__file__))
     relaunch = {
         "run_production_chain":
-            ("/tmp/chain.pid", ["bash", "scripts/run_production_chain4.sh"],
+            ("/tmp/chain.pid", ["bash", "scripts/run_production_chain5.sh"],
              os.path.join(here, "runs_r2_nohup.log")),
         "evidence_watcher":
             ("/tmp/watcher.pid", ["bash", "scripts/evidence_watcher.sh"],
